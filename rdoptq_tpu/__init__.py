@@ -1,0 +1,24 @@
+"""rdoptq_tpu — a TPU-native (JAX/XLA/Pallas/pjit) framework for rate-distortion
+optimized post-training quantization of learned image compression models.
+
+Brand-new design with the capabilities of the reference RDO-PTQ codebase
+(Shi, Lu, Ma — "Rate-Distortion Optimized Post-Training Quantization for
+Learned Image Compression", IEEE TCSVT 2023). Everything here is written
+TPU-first: pure-functional models over parameter pytrees, quantization as a
+pytree transformation, calibration loops as jitted `lax.scan` bodies,
+channel-wise quantizer search batched with `vmap`, data-parallel evaluation
+with `jax.sharding`, and a host-side C++ rANS range coder for the actual
+bitstream.
+
+Package layout
+--------------
+- ``ops``      core math: quantizers, AdaRound, entropy models, GDN, metrics
+- ``models``   LIC model zoo (Minnen2018, Cheng2020, Lu2022/NIC, TinyLIC)
+- ``quant``    model surgery + calibration engines (light uniform & RDO)
+- ``coding``   host-side rANS range coder + CDF quantization (C++)
+- ``eval``     dataset harnesses (Kodak/Tecnick/CLIC), BD-rate
+- ``parallel`` device mesh and sharding helpers
+- ``utils``    config, logging, checkpointing
+"""
+
+__version__ = "0.1.0"
