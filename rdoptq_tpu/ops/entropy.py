@@ -190,9 +190,9 @@ def factorized_aux_loss(params: FactorizedParams,
                         tail_mass: float = 1e-9) -> jax.Array:
     """Tail-quantile auxiliary loss (parity with the reference's
     `aux_loss`, light-uniform-PTQ/models/base.py:83-108)."""
-    logits = factorized_logits(params, params.quantiles.transpose(0, 2, 1))
+    logits = factorized_logits(params, params.quantiles)  # (C, 1, 3)
     t = math.log(tail_mass / 2 / (1 - tail_mass / 2))
-    target = jnp.array([-t, 0.0, t], jnp.float32)
+    target = jnp.array([t, 0.0, -t], jnp.float32)
     return jnp.sum(jnp.abs(logits[:, 0, :] - target))
 
 
@@ -210,8 +210,8 @@ def fit_quantiles(params: FactorizedParams, tail_mass: float = 1e-9,
     def body(_, carry):
         lo, hi = carry
         mid = 0.5 * (lo + hi)
-        # logits at the three candidate points per channel
-        val = factorized_logits(params, mid.transpose(0, 2, 1)).transpose(0, 2, 1)
+        # logits at the three candidate points per channel, (C, 1, 3)
+        val = factorized_logits(params, mid)
         go_right = val < targets
         return jnp.where(go_right, mid, lo), jnp.where(go_right, hi, mid)
 

@@ -154,9 +154,12 @@ def test_adaround_alpha_init_recovers_rest():
     rest = w / qp.delta - jnp.floor(w / qp.delta)
     assert np.allclose(adaround.rectified_sigmoid(alpha), rest, atol=1e-4)
     # at init, soft quantization reproduces the FP32 weight (h(alpha)=rest,
-    # the reference's "Init alpha to be FP32") within the clamp range
+    # the reference's "Init alpha to be FP32") for non-clamped elements
     soft = adaround.adaround_fake_quant(w, qp, alpha, 8, soft=True)
-    assert np.allclose(soft, w, atol=1e-4)
+    lvl = np.asarray(jnp.floor(w / qp.delta) + qp.zero_point)
+    unclamped = (lvl >= 0) & (lvl + 1 <= 255)
+    assert np.allclose(np.asarray(soft)[unclamped], np.asarray(w)[unclamped],
+                       atol=1e-4)
     # hard quantization at init == nearest rounding (alpha >= 0 <-> rest >= .5)
     hard = adaround.adaround_fake_quant(w, qp, alpha, 8, soft=False)
     near = quant.fake_quant(w, qp, 8)
