@@ -1,0 +1,6 @@
+"""LIC model zoo: functional JAX models over parameter pytrees."""
+
+from . import base, layers
+from .minnen2018 import Minnen2018, minnen2018
+
+__all__ = ["base", "layers", "Minnen2018", "minnen2018"]

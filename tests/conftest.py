@@ -18,6 +18,9 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax  # noqa: E402
 
+# The image presets jax_platforms="axon,cpu" (TPU tunnel first); the env var
+# alone does not override it, so force CPU explicitly for the test suite.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", False)
 # persistent compile cache: the suite is compile-bound on CPU CI
 jax.config.update("jax_compilation_cache_dir", "/tmp/rdoptq_jax_cache")
