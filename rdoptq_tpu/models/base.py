@@ -48,21 +48,32 @@ class Coder:
 
     name: str
     stages: Tuple[Stage, ...]
+    # Whether the remaining stages of this coder act as the task-loss
+    # suffix during calibration. Parity default: True for the four
+    # transform coders, False for context/entropy-parameter pipelines
+    # (the reference's find_unquantized_module only matches
+    # g_a/h_a/h_s/g_s names — layer_opt.py:15-43).
+    use_suffix: bool = True
 
     def run(self, params, x, ctx: QuantCtx = NULL_CTX,
             start: int = 0, stop: Optional[int] = None,
-            tape: Optional[Tape] = None):
+            tape: Optional[Tape] = None,
+            tape_filter: Optional[frozenset] = None):
+        def record(key, val):
+            if tape is not None and (tape_filter is None
+                                     or key in tape_filter):
+                tape[key] = val
+
         for st in self.stages[start:stop]:
-            if tape is not None:
-                tape[st.name + ":in"] = x
+            record(st.name + ":in", x)
             x = st.fn(params, x, ctx)
-            if tape is not None:
-                tape[st.name + ":out"] = x
+            record(st.name + ":out", x)
         return x
 
     def __call__(self, params, x, ctx: QuantCtx = NULL_CTX,
-                 tape: Optional[Tape] = None):
-        return self.run(params, x, ctx, tape=tape)
+                 tape: Optional[Tape] = None,
+                 tape_filter: Optional[frozenset] = None):
+        return self.run(params, x, ctx, tape=tape, tape_filter=tape_filter)
 
     def index(self, stage_name: str) -> int:
         for i, st in enumerate(self.stages):

@@ -177,8 +177,9 @@ def masked_conv2d(p: Params, x: jax.Array, mask: jax.Array,
                   stride: int = 1) -> jax.Array:
     """Conv with a static binary mask on the kernel (autoregressive context
     models: causal 'A' mask, checkerboard mask)."""
-    return conv2d({"w": p["w"] * mask, "b": p.get("b")}, x, stride=stride) \
-        if "b" in p else conv2d({"w": p["w"] * mask}, x, stride=stride)
+    w = p["w"] * mask.astype(p["w"].dtype)
+    pm = {"w": w, "b": p["b"]} if "b" in p else {"w": w}
+    return conv2d(pm, x, stride=stride)
 
 
 def causal_mask(k: int, c_in: int, c_out: int) -> jax.Array:

@@ -158,50 +158,66 @@ class Minnen2018:
         ))
 
     @property
+    def context(self) -> Coder:
+        M = self.M
+
+        def fn(params, y_hat, ctx):
+            mask = L.causal_mask(5, M, 2 * M)
+            return ctx.act("context",
+                           L.masked_conv2d(params["context"], y_hat, mask))
+
+        return Coder("context", (Stage("context", fn, ("context/w",)),),
+                     use_suffix=False)
+
+    @property
+    def ep(self) -> Coder:
+        return Coder("ep", (
+            _conv_stage("ep/conv0", "ep/conv0", act="leaky_relu"),
+            _conv_stage("ep/conv1", "ep/conv1", act="leaky_relu"),
+            _conv_stage("ep/conv2", "ep/conv2"),
+        ), use_suffix=False)
+
+    @property
     def coders(self):
-        return {"g_a": self.g_a, "h_a": self.h_a,
-                "h_s": self.h_s, "g_s": self.g_s}
+        return {"g_a": self.g_a, "h_a": self.h_a, "h_s": self.h_s,
+                "g_s": self.g_s, "context": self.context, "ep": self.ep}
 
-    # -- entropy-parameter pipeline -----------------------------------------
-
-    def _context_prediction(self, params, y_hat, ctx=L.NULL_CTX):
-        mask = L.causal_mask(5, self.M, 2 * self.M)
-        return ctx.act("context",
-                       L.masked_conv2d(params["context"], y_hat, mask))
-
-    def _entropy_parameters(self, params, feats, ctx=L.NULL_CTX):
-        h = ctx.act("ep/conv0",
-                    L.leaky_relu(L.conv2d(params["ep"]["conv0"], feats)))
-        h = ctx.act("ep/conv1",
-                    L.leaky_relu(L.conv2d(params["ep"]["conv1"], h)))
-        return ctx.act("ep/conv2", L.conv2d(params["ep"]["conv2"], h))
+    def calibration_order(self):
+        """Unit schedule for sequential RDO calibration (information-flow
+        order; the reference uses module-definition order, main2.py:227-253
+        — equivalent for prefix-quantization semantics here)."""
+        return ("g_a", "h_a", "h_s", "g_s", "context", "ep")
 
     # -- forward (likelihood / fake-quant path; all-parallel, on-TPU) -------
 
     def forward(self, params, x, *, ctx: L.QuantCtx = L.NULL_CTX,
                 training: bool = False, key: Optional[jax.Array] = None,
-                tape: Optional[Tape] = None) -> Dict:
+                tape: Optional[Tape] = None,
+                tape_filter: Optional[frozenset] = None) -> Dict:
         if training and key is None:
             raise ValueError("training forward requires a PRNG key")
         k1 = k2 = None
         if training:
             k1, k2 = jax.random.split(key)
 
-        y = self.g_a.run(params, x, ctx, tape=tape)
-        z = self.h_a.run(params, y, ctx, tape=tape)
+        def run(coder, v):
+            return coder.run(params, v, ctx, tape=tape,
+                             tape_filter=tape_filter)
+
+        y = run(self.g_a, x)
+        z = run(self.h_a, y)
         z_hat, z_lik = E.factorized_forward(params["eb"], z,
                                             training=training, key=k1)
-        hyper = self.h_s.run(params, z_hat, ctx, tape=tape)
+        hyper = run(self.h_s, z_hat)
 
         y_hat = (E.quantize_noise(y, k2) if training
                  else E.quantize_ste(y))
-        ctx_p = self._context_prediction(params, y_hat, ctx)
-        gp = self._entropy_parameters(
-            params, jnp.concatenate([hyper, ctx_p], axis=-1), ctx)
+        ctx_p = run(self.context, y_hat)
+        gp = run(self.ep, jnp.concatenate([hyper, ctx_p], axis=-1))
         scales, means = jnp.split(gp, 2, axis=-1)
         y_lik = E.gaussian_likelihood(y, scales, means)
 
-        x_hat = self.g_s.run(params, y_hat, ctx, tape=tape)
+        x_hat = run(self.g_s, y_hat)
         return {"x_hat": x_hat,
                 "likelihoods": {"y": y_lik, "z": z_lik},
                 "y": y, "y_hat": y_hat, "z": z}

@@ -1,0 +1,258 @@
+"""Task-oriented RDO calibration engine (AdaRound + task loss + QDrop).
+
+TPU-native re-implementation of the reference's calibration core
+(`layer_reconstruction` quantization/layer_opt.py:175-320,
+`block_reconstruction` quantization/block_opt.py:176-324, caching utilities
+quantization/utils.py:92-258). The reference runs 20 000 Python-side Adam
+steps per layer with forward hooks; here each unit's whole optimization is
+ONE jitted `lax.scan` running entirely on device:
+
+* caches are collected by two tape'd forwards (FP pass; hard-quantized
+  trained-prefix pass — the 'asym' input of BRECQ, utils.py:234-245),
+* the task target is the FP rest-of-coder output, with STE latent rounding
+  appended for g_a (the reference's `fp_out` round_ste, layer_opt.py:67-70),
+* the scan body mixes quant/FP inputs elementwise with probability
+  ``input_prob`` (QDrop, layer_opt.py:291-292), runs the unit with soft
+  AdaRound weights, the FP suffix, and one optax Adam step on all alphas of
+  the unit jointly (layer- and block-wise calibration are the same code
+  here — a unit simply owns 1..n leaves).
+
+Determinism: a single PRNG key drives batch sampling and QDrop masks.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import time
+from typing import Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..models.base import Coder, Stage, get_leaf
+from ..models.layers import NULL_CTX, QuantCtx
+from ..ops import adaround as AR
+from ..ops import quant as Q
+from ..ops.entropy import quantize_ste
+from . import wrap
+
+log = logging.getLogger(__name__)
+
+
+@dataclasses.dataclass(frozen=True)
+class RDOConfig:
+    """Calibration hyper-parameters (defaults = reference CLI defaults,
+    main2.py:50-63)."""
+
+    iters: int = 20000
+    batch_size: int = 4
+    weight: float = 0.01          # rounding-reg weight
+    b_start: float = 20.0
+    b_end: float = 2.0
+    warmup: float = 0.2
+    input_prob: float = 0.5       # P(use quant input) elementwise (QDrop)
+    lr: float = 1e-3              # torch.optim.Adam default (layer_opt.py:254)
+    p: float = 2.0                # rec-loss exponent
+    task_p: float = 2.0           # task-loss exponent (--task_loss)
+    act_quant: bool = False
+    act_bits: int = 8
+
+
+@dataclasses.dataclass
+class PTQState:
+    """Mutable-on-host calibration state (all device data immutable)."""
+
+    qstate: Dict[str, Q.QParams]
+    cfg: wrap.WeightQuantConfig
+    alphas: Dict[str, jax.Array] = dataclasses.field(default_factory=dict)
+    trained_leaves: Tuple[str, ...] = ()
+    trained_stages: Tuple[str, ...] = ()
+
+    def weight_modes(self, extra: Dict[str, str] = {},
+                     untrained: str = "fp") -> Dict[str, str]:
+        """Per-leaf quantization modes: trained leaves use hard AdaRound;
+        untrained leaves FP (during calibration) or nearest (eval)."""
+        modes = {p: untrained for p in self.qstate}
+        for p in self.trained_leaves:
+            modes[p] = "hard"
+        modes.update(extra)
+        return modes
+
+    def quantized_params(self, params, extra: Dict[str, str] = {},
+                         untrained: str = "fp",
+                         soft_alphas: Optional[Dict] = None):
+        alphas = dict(self.alphas)
+        if soft_alphas:
+            alphas.update(soft_alphas)
+        return wrap.quantize_leaves(params, self.qstate,
+                                    self.weight_modes(extra, untrained),
+                                    self.cfg, alphas)
+
+    def act_ctx(self, cfg: RDOConfig,
+                skip: frozenset = frozenset()) -> QuantCtx:
+        if not cfg.act_quant:
+            return NULL_CTX
+        return QuantCtx(act_paths=frozenset(self.trained_stages),
+                        act_kind="dynamic", act_bits=cfg.act_bits,
+                        skip_paths=skip)
+
+
+def init_ptq_state(params, wcfg: wrap.WeightQuantConfig) -> PTQState:
+    """Scale-init every quantizable leaf (the reference's init forward
+    pass, main2.py:195-201, without needing data for weight scales)."""
+    leaves = wrap.find_quant_leaves(params)
+    qstate = wrap.init_weight_qstate(params, leaves, wcfg)
+    return PTQState(qstate=qstate, cfg=wcfg)
+
+
+def _unit_caches(model, params, state: PTQState, coder: Coder, k: int,
+                 cali_data, cfg: RDOConfig, skip_act: frozenset):
+    """Collect (fp_in, quant_in, fp_out, fp_net_out) for stage k of coder."""
+    stage = coder.stages[k]
+    filt = frozenset({stage.name + ":in", stage.name + ":out"})
+
+    @jax.jit
+    def fp_pass(x):
+        tape = {}
+        model.forward(params, x, ctx=NULL_CTX, tape=tape, tape_filter=filt)
+        return tape[stage.name + ":in"], tape[stage.name + ":out"]
+
+    fp_in, fp_out = fp_pass(cali_data)
+
+    # 'asym' pass: trained prefix hard-quantized (+ its act quant)
+    params_q = state.quantized_params(params)
+    ctx_q = state.act_ctx(cfg, skip_act)
+
+    @jax.jit
+    def q_pass(x):
+        tape = {}
+        model.forward(params_q, x, ctx=ctx_q, tape=tape, tape_filter=filt)
+        return tape[stage.name + ":in"]
+
+    q_in = q_pass(cali_data)
+
+    # FP task target: rest of the current coder on the FP output
+    @jax.jit
+    def suffix_fp(h):
+        out = coder.run(params, h, NULL_CTX, start=k + 1) \
+            if coder.use_suffix else h
+        if coder.name == "g_a":
+            out = quantize_ste(out)
+        return out
+
+    fp_net_out = suffix_fp(fp_out)
+    return fp_in, q_in, fp_out, fp_net_out, suffix_fp
+
+
+def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
+                   cali_data, cfg: RDOConfig,
+                   skip_act: frozenset = frozenset(),
+                   key: Optional[jax.Array] = None) -> Dict[str, float]:
+    """Optimize the AdaRound alphas of one unit (stage) and fold the result
+    into ``state``. Returns timing/loss diagnostics."""
+    stage = coder.stages[k]
+    leaf_paths = stage.leaf_paths
+    if not leaf_paths:
+        state.trained_stages += (stage.name,)
+        return {"skipped": True}
+    key = key if key is not None else jax.random.PRNGKey(0)
+
+    t0 = time.time()
+    fp_in, q_in, fp_out, fp_net_out, _ = _unit_caches(
+        model, params, state, coder, k, cali_data, cfg, skip_act)
+    cache_t = time.time() - t0
+
+    alphas0 = wrap.init_alphas(params, state.qstate, leaf_paths)
+    opt = optax.adam(cfg.lr)
+    n = fp_in.shape[0]
+    loss_start = cfg.warmup * cfg.iters
+
+    def loss_fn(alphas, inp, tgt_out, tgt_net, t):
+        params_soft = state.quantized_params(
+            params, extra={p: "soft" for p in leaf_paths},
+            soft_alphas=alphas)
+        out = stage.fn(params_soft, inp, NULL_CTX)
+        rec = Q.lp_loss(out, tgt_out, cfg.p, "channel_sum")
+        net = coder.run(params, out, NULL_CTX, start=k + 1) \
+            if coder.use_suffix else out
+        if coder.name == "g_a":
+            net = quantize_ste(net)
+        task = Q.lp_loss(net, tgt_net, cfg.task_p, "channel_sum")
+        b = AR.linear_temp_decay(t.astype(jnp.float32), cfg.iters,
+                                 cfg.warmup, cfg.b_start, cfg.b_end)
+        reg = sum(AR.round_reg(a, b) for a in alphas.values())
+        reg = jnp.where(t < loss_start, 0.0, cfg.weight * reg)
+        return rec + task + reg, (rec, task, reg)
+
+    @jax.jit
+    def run_scan(alphas, key):
+        opt_state = opt.init(alphas)
+
+        def step(carry, t):
+            alphas, opt_state, key = carry
+            key, k1, k2 = jax.random.split(key, 3)
+            idx = jax.random.permutation(k1, n)[:cfg.batch_size]
+            fp_b, q_b = fp_in[idx], q_in[idx]
+            # QDrop: elementwise quant-vs-fp input mix (layer_opt.py:291)
+            if cfg.input_prob < 1.0:
+                mask = jax.random.uniform(k2, fp_b.shape) < cfg.input_prob
+                inp = jnp.where(mask, q_b, fp_b)
+            else:
+                inp = q_b
+            (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
+                alphas, inp, fp_out[idx], fp_net_out[idx], t)
+            updates, opt_state = opt.update(g, opt_state)
+            alphas = optax.apply_updates(alphas, updates)
+            return (alphas, opt_state, key), jnp.stack(
+                [l, aux[0], aux[1], aux[2]])
+
+        (alphas, _, _), losses = jax.lax.scan(
+            step, (alphas, opt_state, key), jnp.arange(cfg.iters))
+        return alphas, losses
+
+    t0 = time.time()
+    alphas, losses = run_scan(alphas0, key)
+    losses.block_until_ready()
+    opt_t = time.time() - t0
+
+    state.alphas.update(alphas)
+    state.trained_leaves += tuple(leaf_paths)
+    state.trained_stages += (stage.name,)
+    # losses: (iters, 4) = total, rec, task, reg
+    info = {"cache_s": cache_t, "opt_s": opt_t,
+            "loss_first": float(losses[0, 0]),
+            "loss_last": float(losses[-1, 0]),
+            "rec_first": float(losses[0, 1]),
+            "rec_last": float(losses[-1, 1]),
+            "task_first": float(losses[0, 2]),
+            "task_last": float(losses[-1, 2]),
+            "reg_last": float(losses[-1, 3]),
+            "steps_per_s": cfg.iters / max(opt_t, 1e-9)}
+    log.info("unit %-16s cache %.2fs opt %.2fs (%.0f it/s) "
+             "rec %.4g->%.4g task %.4g->%.4g reg %.4g",
+             stage.name, cache_t, opt_t, info["steps_per_s"],
+             info["rec_first"], info["rec_last"], info["task_first"],
+             info["task_last"], info["reg_last"])
+    return info
+
+
+def calibrate_model(model, params, cali_data, wcfg: wrap.WeightQuantConfig,
+                    cfg: RDOConfig, skip_act: frozenset = frozenset(),
+                    seed: int = 1005) -> PTQState:
+    """Full sequential calibration over the model's unit schedule
+    (the reference's `recon_model` walk, main2.py:227-264)."""
+    state = init_ptq_state(params, wcfg)
+    key = jax.random.PRNGKey(seed)
+    for coder_name in model.calibration_order():
+        coder = model.coders[coder_name]
+        for k in range(len(coder.stages)):
+            key, sub = jax.random.split(key)
+            calibrate_unit(model, params, state, coder, k, cali_data, cfg,
+                           skip_act, sub)
+    return state
+
+
+__all__ = ["RDOConfig", "PTQState", "init_ptq_state", "calibrate_unit",
+           "calibrate_model"]
