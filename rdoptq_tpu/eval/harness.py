@@ -1,0 +1,84 @@
+"""Dataset evaluation harness: bpp / PSNR / MS-SSIM over image sets.
+
+Parity with the reference's `Test_kodak` (test_datasets.py:76-117) and its
+Tecnick/CLIC notebook variants: pad to a stride multiple, run the
+fake-quant likelihood forward (never the serial codec — same as the
+reference's evaluation), crop, clamp, and accumulate metrics. TPU-native
+details: one jitted evaluation function per padded-shape bucket (Kodak has
+exactly two orientations, so two compiles), optionally sharded over a
+device mesh on the batch axis (see ``rdoptq_tpu.parallel``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import time
+from typing import Dict, List, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import NULL_CTX, QuantCtx
+from ..ops import metrics as M
+
+
+@dataclasses.dataclass
+class EvalResult:
+    psnr: float
+    ms_ssim: float
+    ms_ssim_db: float
+    bpp: float
+    per_image: List[Dict[str, float]]
+    seconds: float
+
+    def row(self) -> str:
+        return (f"psnr {self.psnr:.2f} dB | ms-ssim {self.ms_ssim:.4f} "
+                f"({self.ms_ssim_db:.2f} dB) | bpp {self.bpp:.4f} "
+                f"| {self.seconds:.1f}s")
+
+
+def make_eval_fn(model, ctx: QuantCtx = NULL_CTX):
+    """Jitted single-image eval: returns (psnr, ms_ssim, bpp). Compiled
+    once per padded input shape."""
+
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(2, 3))
+    def run(params, x_pad, orig_hw, meta):
+        out = model.forward(params, x_pad, ctx=ctx)
+        h, w = orig_hw
+        top, left = meta
+        num_pixels = x_pad.shape[0] * h * w
+        bpp = M.bpp_from_likelihoods(out["likelihoods"], num_pixels)
+        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
+        x_hat = x_hat[:, top:top + h, left:left + w, :]
+        x_ref = x_pad[:, top:top + h, left:left + w, :]
+        return M.psnr(x_ref, x_hat), M.ms_ssim(x_ref, x_hat), bpp
+
+    return run
+
+
+def evaluate(model, params, images: Sequence[np.ndarray],
+             ctx: QuantCtx = NULL_CTX, pad_multiple: int = 64,
+             eval_fn=None) -> EvalResult:
+    """Evaluate a list of (1, H, W, 3) images; returns dataset means
+    (the reference averages per-image metrics, test_datasets.py:100-116)."""
+    run = eval_fn if eval_fn is not None else make_eval_fn(model, ctx)
+    per_image = []
+    t0 = time.time()
+    for img in images:
+        x = jnp.asarray(img)
+        x_pad, (h, w, top, left) = M.pad_to_multiple(x, pad_multiple)
+        p, s, b = run(params, x_pad, (h, w), (top, left))
+        per_image.append({"psnr": float(p), "ms_ssim": float(s),
+                          "bpp": float(b)})
+    secs = time.time() - t0
+    mean = lambda k: float(np.mean([r[k] for r in per_image]))
+    ms = mean("ms_ssim")
+    return EvalResult(psnr=mean("psnr"), ms_ssim=ms,
+                      ms_ssim_db=float(-10 * np.log10(max(1 - ms, 1e-12))),
+                      bpp=mean("bpp"), per_image=per_image, seconds=secs)
+
+
+__all__ = ["EvalResult", "make_eval_fn", "evaluate"]

@@ -53,24 +53,20 @@ class LightQuantized:
     cfg: LightConfig
 
 
-def quantize_model(params, cfg: LightConfig = LightConfig()
-                   ) -> LightQuantized:
-    """One-shot conversion (the reference's `quantize_int8`,
-    quantize.py:116-157, minus the warm-up forward)."""
-    leaves = wrap.find_quant_leaves(params)
+def _quantize_all(params, leaves, cfg: LightConfig):
+    """Jittable core: scale-init + integer conversion for every leaf as
+    ONE fused device computation (the whole one-shot PTQ is a single XLA
+    program — no per-layer Python round trips)."""
     wcfg = wrap.WeightQuantConfig(n_bits=cfg.n_bits,
                                   channel_wise=cfg.channel_wise,
                                   scale_method=cfg.scale_method)
     qstate = wrap.init_weight_qstate(params, leaves, wcfg)
-
     int_weights, int_biases, bias_scales = {}, {}, {}
-    base = params
     for leaf in leaves:
         w = get_leaf(params, leaf.path)
         qp = qstate[leaf.path]
-        w_int = Q.quantize(w, qp, cfg.n_bits)
-        int_weights[leaf.path] = np.asarray(w_int, dtype=np.uint8)
-        base = set_leaf(base, leaf.path, jnp.zeros_like(w))
+        int_weights[leaf.path] = Q.quantize(w, qp, cfg.n_bits,
+                                            dtype=jnp.uint8)
         if not cfg.channel_wise:
             # layer-wise path: bias rescaled by s_w and stored int16
             # (quant_int/quant_layer.py:84-97)
@@ -83,11 +79,27 @@ def quantize_model(params, cfg: LightConfig = LightConfig()
             b_int = Q.quantize(b, bqp, cfg.bias_bits).astype(jnp.float32)
             b_int = jnp.round((b_int - bqp.zero_point) / qp.delta
                               * bqp.delta)
-            int_biases[bias_path] = np.asarray(
-                jnp.clip(b_int, -32768, 32767), dtype=np.int16)
+            int_biases[bias_path] = jnp.clip(b_int, -32768, 32767
+                                             ).astype(jnp.int16)
             bias_scales[bias_path] = qp.delta
-    return LightQuantized(int_weights, qstate, int_biases, bias_scales,
-                          base, cfg)
+    return int_weights, qstate, int_biases, bias_scales
+
+
+def quantize_model(params, cfg: LightConfig = LightConfig()
+                   ) -> LightQuantized:
+    """One-shot conversion (the reference's `quantize_int8`,
+    quantize.py:116-157, minus the warm-up forward — scales come directly
+    from the weights in one jitted program)."""
+    leaves = wrap.find_quant_leaves(params)
+    compute = jax.jit(lambda p: _quantize_all(p, leaves, cfg))
+    int_w, qstate, int_b, b_scales = compute(params)
+
+    # one batched device->host transfer for the whole integer artifact
+    int_weights, int_biases = jax.device_get((int_w, int_b))
+    # base_params keeps the original tree as a structure donor; quantized
+    # leaves are excluded from size accounting / replaced on dequantize
+    return LightQuantized(int_weights, qstate, int_biases, b_scales,
+                          params, cfg)
 
 
 def dequantized_params(lq: LightQuantized):

@@ -1,0 +1,68 @@
+"""Tests for the evaluation harness, datasets, and BD-rate metrics."""
+
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rdoptq_tpu.eval import bdrate, datasets, harness
+from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+
+def test_bd_rate_identical_curves_zero():
+    r = [0.2, 0.4, 0.8, 1.2]
+    p = [30.0, 33.0, 36.0, 38.0]
+    assert abs(bdrate.bd_rate(r, p, r, p)) < 1e-9
+    assert abs(bdrate.bd_psnr(r, p, r, p)) < 1e-9
+
+
+def test_bd_rate_10pct_rate_overhead():
+    r = np.array([0.2, 0.4, 0.8, 1.2])
+    p = np.array([30.0, 33.0, 36.0, 38.0])
+    # test curve needs 10% more rate at the same quality
+    val = bdrate.bd_rate(r, p, r * 1.1, p)
+    assert abs(val - 10.0) < 0.2
+    # and a worse-quality curve has positive BD-rate
+    assert bdrate.bd_rate(r, p, r, p - 0.5) > 0
+
+
+def test_bd_psnr_sign():
+    r = [0.2, 0.4, 0.8, 1.2]
+    p = np.array([30.0, 33.0, 36.0, 38.0])
+    assert bdrate.bd_psnr(r, p, r, p + 1.0) == pytest.approx(1.0, abs=1e-6)
+
+
+@pytest.mark.skipif(not os.path.isdir(datasets.DEFAULT_KODAK),
+                    reason="Kodak assets unavailable")
+def test_kodak_loader():
+    imgs = datasets.kodak(limit=2)
+    assert len(imgs) == 2
+    assert imgs[0].ndim == 4 and imgs[0].shape[-1] == 3
+    assert imgs[0].max() <= 1.0 and imgs[0].min() >= 0.0
+    assert {imgs[0].shape[1], imgs[0].shape[2]} == {512, 768}
+
+
+@pytest.mark.skipif(not os.path.isdir(datasets.DEFAULT_KODAK),
+                    reason="Kodak assets unavailable")
+def test_random_crops():
+    imgs = datasets.kodak(limit=3)
+    crops = datasets.random_crops(imgs, num=5, size=128)
+    assert crops.shape == (5, 128, 128, 3)
+    # deterministic under the same seed
+    crops2 = datasets.random_crops(imgs, num=5, size=128)
+    assert np.array_equal(crops, crops2)
+
+
+def test_evaluate_tiny_model_on_synthetic():
+    model = Minnen2018(N=16, M=24)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    # smooth synthetic images (noise compresses at ~8bpp which is useless)
+    base = rng.random((1, 100, 140, 3)).astype(np.float32)
+    imgs = [np.clip(np.cumsum(base, axis=2) / 140.0, 0, 1),
+            base * 0 + 0.5]
+    res = harness.evaluate(model, params, imgs, pad_multiple=64)
+    assert len(res.per_image) == 2
+    assert np.isfinite(res.psnr) and np.isfinite(res.bpp)
+    assert res.bpp > 0
