@@ -60,7 +60,12 @@ class QuantCtx:
     skip_paths: frozenset = frozenset()
 
     def act(self, path: str, x: jax.Array) -> jax.Array:
-        if path in self.skip_paths or path not in self.act_paths:
+        # internal hook sites use "stage#site" and inherit the stage's
+        # enabled/skip status (e.g. attention-internal act quant)
+        base = path.split("#", 1)[0]
+        if path in self.skip_paths or base in self.skip_paths:
+            return x
+        if path not in self.act_paths and base not in self.act_paths:
             return x
         if self.act_kind == "dynamic":
             return Q.dynamic_act_fake_quant(x, n_bits=self.act_bits)

@@ -32,7 +32,7 @@ def sharded_unit_step(model, params, state: rdo.PTQState, coder: Coder,
     """One sharded AdaRound optimization step. ``caches`` =
     (fp_in, q_in, fp_out, fp_net_out), each sharded on the batch axis."""
     stage = coder.stages[k]
-    leaf_paths = stage.leaf_paths
+    leaf_paths = tuple(p for p in stage.leaf_paths if p in state.qstate)
     fp_in, q_in, fp_out, fp_net_out = caches
     opt = optax.adam(cfg.lr)
     loss_start = cfg.warmup * cfg.iters

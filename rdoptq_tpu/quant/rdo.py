@@ -153,7 +153,9 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
     """Optimize the AdaRound alphas of one unit (stage) and fold the result
     into ``state``. Returns timing/loss diagnostics."""
     stage = coder.stages[k]
-    leaf_paths = stage.leaf_paths
+    # stages may list optional leaves (e.g. identity-skip residual blocks
+    # have no skip conv); keep only leaves that exist in this model
+    leaf_paths = tuple(p for p in stage.leaf_paths if p in state.qstate)
     if not leaf_paths:
         state.trained_stages += (stage.name,)
         return {"skipped": True}

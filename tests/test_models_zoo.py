@@ -1,0 +1,108 @@
+"""Tests for Cheng2020 and Lu2022 models (tiny dims for CPU CI)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from rdoptq_tpu.models import swin
+from rdoptq_tpu.models.cheng2020 import Cheng2020
+from rdoptq_tpu.models.lu2022 import Lu2022
+from rdoptq_tpu.ops import metrics as M
+from rdoptq_tpu.quant import rdo, wrap
+
+
+def test_cheng2020_forward_and_leaves():
+    model = Cheng2020(N=16)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = model.forward(params, x)
+    assert out["x_hat"].shape == x.shape
+    assert out["y"].shape == (1, 4, 4, 16)
+    bpp = M.bpp_from_likelihoods(out["likelihoods"], 64 * 64)
+    assert np.isfinite(float(bpp))
+    leaves = wrap.find_quant_leaves(params)
+    paths = {l.path for l in leaves}
+    assert "g_a/rbws0/gdn/gamma" in paths
+    assert "g_s/subpel7/w" in paths
+    # identity-skip residual blocks have no skip conv leaf
+    assert "g_a/rb1/skip/w" not in paths
+
+
+def test_cheng2020_block_unit_calibration():
+    model = Cheng2020(N=16)
+    params = model.init(jax.random.PRNGKey(2))
+    cali = jax.random.uniform(jax.random.PRNGKey(3), (4, 64, 64, 3))
+    state = rdo.init_ptq_state(params, wrap.WeightQuantConfig(n_bits=8))
+    cfg = rdo.RDOConfig(iters=20, batch_size=2)
+    info = rdo.calibrate_unit(model, params, state, model.g_a, 0, cali,
+                              cfg, key=jax.random.PRNGKey(4))
+    # the whole residual block's leaves were jointly optimized
+    assert "g_a/rbws0/conv1/w" in state.alphas
+    assert "g_a/rbws0/gdn/gamma" in state.alphas
+    assert np.isfinite(info["loss_last"])
+
+
+@pytest.fixture(scope="module")
+def tiny_lu():
+    model = Lu2022(embed_dim=16, latent_dim=32, window_size=4)
+    params = model.init(jax.random.PRNGKey(0))
+    return model, params
+
+
+def test_lu2022_forward(tiny_lu):
+    model, params = tiny_lu
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 128, 128, 3))
+    out = model.forward(params, x)
+    assert out["x_hat"].shape == x.shape
+    assert out["y"].shape == (1, 8, 8, 32)
+    assert out["z"].shape == (1, 2, 2, 16)
+    assert np.isfinite(
+        float(M.bpp_from_likelihoods(out["likelihoods"], 128 * 128)))
+
+
+def test_lu2022_rstb_block_calibration(tiny_lu):
+    model, params = tiny_lu
+    cali = jax.random.uniform(jax.random.PRNGKey(2), (2, 128, 128, 3))
+    state = rdo.init_ptq_state(params, wrap.WeightQuantConfig(n_bits=8))
+    cfg = rdo.RDOConfig(iters=10, batch_size=2)
+    info = rdo.calibrate_unit(model, params, state, model.g_a, 1, cali,
+                              cfg, key=jax.random.PRNGKey(3))
+    assert "g_a/rstb1/block0/attn/qkv/w" in state.alphas
+    assert "g_a/rstb1/block1/mlp/fc2/w" in state.alphas
+    assert np.isfinite(info["loss_last"])
+
+
+def test_window_partition_roundtrip():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 8, 12, 5))
+    w = swin.window_partition(x, 4)
+    assert w.shape == (2, 6, 16, 5)
+    back = swin.window_reverse(w, 4, 8, 12)
+    assert np.allclose(np.asarray(back), np.asarray(x))
+
+
+def test_relative_position_index_properties():
+    idx = swin.relative_position_index(4)
+    assert idx.shape == (16, 16)
+    assert idx.min() >= 0 and idx.max() < 7 * 7
+    # diagonal = center of the table
+    assert np.all(np.diag(idx) == (4 - 1) * (2 * 4 - 1) + (4 - 1))
+
+
+def test_shift_mask_blocks_cross_region_attention():
+    m = swin.shift_attn_mask(8, 8, 4, 2)
+    assert m.shape == (4, 16, 16)
+    assert set(np.unique(m)) == {-100.0, 0.0}
+    # the top-left window is entirely one region: no masking
+    assert np.all(m[0] == 0.0)
+
+
+def test_swin_block_shift_equivariance_smoke():
+    # shifted vs non-shifted blocks must both preserve shape & finiteness
+    p = swin.swin_block_init(jax.random.PRNGKey(0), 16, 4, 4)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 8, 8, 16))
+    y0 = swin.swin_block(p, x, 4, 4, 0)
+    y1 = swin.swin_block(p, x, 4, 4, 2)
+    assert y0.shape == x.shape and y1.shape == x.shape
+    assert np.isfinite(np.asarray(y0)).all()
+    assert not np.allclose(np.asarray(y0), np.asarray(y1))
