@@ -246,4 +246,66 @@ int rdoptq_rans_decode(const uint8_t* stream, long nbytes,
   return 0;
 }
 
+// ---------------------------------------------------------------------------
+// Stateful streaming decoder: conditional entropy models (channel slices,
+// checkerboard passes, autoregressive wavefronts) decode in chunks whose
+// distributions depend on previously decoded chunks.
+// ---------------------------------------------------------------------------
+
+struct StreamDecoder {
+  RansDecoder dec;
+  std::vector<uint8_t> buf;  // own the stream
+};
+
+void* rdoptq_rans_dec_new(const uint8_t* stream, long nbytes) {
+  if (nbytes < 8) return nullptr;
+  auto* sd = new StreamDecoder();
+  sd->buf.assign(stream, stream + nbytes);
+  sd->dec.init(sd->buf.data(), sd->buf.size());
+  return sd;
+}
+
+int rdoptq_rans_dec_chunk(void* handle, const int32_t* indexes, long n,
+                          const int32_t* cdfs, int cdf_stride,
+                          const int32_t* cdf_lengths, const int32_t* offsets,
+                          int32_t* out_symbols) {
+  if (!handle) return -1;
+  auto* sd = static_cast<StreamDecoder*>(handle);
+  RansDecoder& dec = sd->dec;
+  for (long i = 0; i < n; ++i) {
+    const int32_t idx = indexes[i];
+    const int32_t* cdf = cdfs + static_cast<long>(idx) * cdf_stride;
+    const int32_t cdf_len = cdf_lengths[idx];
+    const int32_t max_value = cdf_len - 2;
+    const uint32_t d = dec.peek();
+    int lo = 0, hi = cdf_len - 1;
+    while (hi - lo > 1) {
+      const int mid = (lo + hi) >> 1;
+      if (static_cast<uint32_t>(cdf[mid]) <= d) lo = mid; else hi = mid;
+    }
+    const uint32_t sym = static_cast<uint32_t>(lo);
+    const uint32_t start = static_cast<uint32_t>(cdf[sym]);
+    const uint32_t freq = static_cast<uint32_t>(cdf[sym + 1]) - start;
+    dec.advance(start, freq);
+    int32_t value = static_cast<int32_t>(sym);
+    if (value == max_value) {
+      uint32_t code = 0, shift = 0;
+      while (true) {
+        const uint32_t chunk = dec.get_bits(kChunkBits);
+        code |= chunk << shift;
+        shift += kChunkBits;
+        const uint32_t cont = dec.get_bits(1);
+        if (!cont || shift >= 64) break;
+      }
+      value = overflow_value(code, max_value);
+    }
+    out_symbols[i] = value + offsets[idx];
+  }
+  return 0;
+}
+
+void rdoptq_rans_dec_free(void* handle) {
+  delete static_cast<StreamDecoder*>(handle);
+}
+
 }  // extern "C"

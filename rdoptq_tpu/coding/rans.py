@@ -56,6 +56,14 @@ def _load() -> ctypes.CDLL:
         lib.rdoptq_pmf_to_quantized_cdf.restype = ctypes.c_int
         lib.rdoptq_pmf_to_quantized_cdf.argtypes = [
             ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_void_p]
+        lib.rdoptq_rans_dec_new.restype = ctypes.c_void_p
+        lib.rdoptq_rans_dec_new.argtypes = [ctypes.c_void_p, ctypes.c_long]
+        lib.rdoptq_rans_dec_chunk.restype = ctypes.c_int
+        lib.rdoptq_rans_dec_chunk.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
+        lib.rdoptq_rans_dec_free.restype = None
+        lib.rdoptq_rans_dec_free.argtypes = [ctypes.c_void_p]
         _lib = lib
         return lib
 
@@ -126,5 +134,45 @@ def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths,
     return out
 
 
+class RansDecoderStream:
+    """Stateful streaming decoder for conditional entropy models: decode
+    chunk-by-chunk where each chunk's CDF indexes depend on previously
+    decoded data (the role of `compressai.ans.RansDecoder.decode_stream`,
+    used at e.g. reference nic_cvt.py:524-565, tinylic.py:330-362)."""
+
+    def __init__(self, stream: bytes):
+        self._lib = _load()
+        self._buf = np.frombuffer(stream, dtype=np.uint8)
+        self._handle = self._lib.rdoptq_rans_dec_new(
+            self._buf.ctypes.data, self._buf.size)
+        if not self._handle:
+            raise ValueError("invalid rANS stream")
+
+    def decode(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+        idx = _as_i32(indexes).ravel()
+        cdf = _as_i32(cdfs)
+        lengths = _as_i32(cdf_lengths).ravel()
+        offs = _as_i32(offsets).ravel()
+        out = np.empty(idx.size, dtype=np.int32)
+        rc = self._lib.rdoptq_rans_dec_chunk(
+            self._handle, idx.ctypes.data, idx.size, cdf.ctypes.data,
+            cdf.shape[1], lengths.ctypes.data, offs.ctypes.data,
+            out.ctypes.data)
+        if rc != 0:
+            raise RuntimeError(f"rANS chunk decode failed (rc={rc})")
+        return out
+
+    def close(self):
+        if self._handle:
+            self._lib.rdoptq_rans_dec_free(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
 __all__ = ["pmf_to_quantized_cdf", "encode_with_indexes",
-           "decode_with_indexes"]
+           "decode_with_indexes", "RansDecoderStream"]

@@ -350,60 +350,77 @@ class TinyLIC:
 
     # -- entropy model ------------------------------------------------------
 
+    def slice_cc(self, params, support, i: int):
+        """Channel-conditional transform for slice i (cc_transforms,
+        reference tinylic.py:110-118)."""
+        cp = params["cc"][f"slice{i}"]
+        h1 = jax.nn.gelu(L.conv2d(cp["conv0"], support))
+        h1 = jax.nn.gelu(L.conv2d(cp["conv1"], h1))
+        return L.conv2d(cp["conv2"], h1)
+
+    def slice_ep(self, params, hyper, sc_params, cc_params, i: int):
+        """Entropy-parameter head for slice i -> (scales, means)."""
+        epp = params["ep"][f"slice{i}"]
+        feats = jnp.concatenate([hyper, sc_params, cc_params], axis=-1)
+        e = jax.nn.gelu(L.conv2d(epp["conv0"], feats))
+        e = jax.nn.gelu(L.conv2d(epp["conv1"], e))
+        gp = L.conv2d(epp["conv2"], e)
+        scales, means = jnp.split(gp, 2, axis=-1)
+        return scales, means
+
+    def slice_sc(self, params, y_half, i: int):
+        """Checkerboard spatial-context transform for slice i."""
+        mask = L.checkerboard_mask(5, self.slices[i], 2 * self.slices[i])
+        return L.masked_conv2d(params["sc"][f"slice{i}"], y_half, mask)
+
     def _slice_entropy(self, params, hyper, y, ctx: L.QuantCtx,
-                       two_pass: bool = True):
+                       return_coding: bool = False):
         """Channel-slice + checkerboard two-pass conditional entropy model
-        (reference tinylic.py:190-229). Returns (y_hat, y_likelihoods)."""
-        M = self.M
+        (reference tinylic.py:190-229). Returns (y_hat, y_likelihoods)
+        and, with ``return_coding``, the per-slice/per-pass Gaussian
+        parameters the real codec needs."""
         _, h, w, _ = y.shape
         anchor = checkerboard_anchor_mask(h, w)
         splits = list(jnp.cumsum(jnp.asarray(self.slices))[:-1])
         y_slices = jnp.split(y, splits, axis=-1)
-        mask = {i: L.checkerboard_mask(5, self.slices[i],
-                                       2 * self.slices[i])
-                for i in range(len(self.slices))}
 
-        y_hat_slices, y_liks = [], []
+        y_hat_slices, y_liks, coding = [], [], []
         for i, y_slice in enumerate(y_slices):
-            si = f"slice{i}"
             support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
-            cp = params["cc"][si]
-            h1 = jax.nn.gelu(L.conv2d(cp["conv0"], support))
-            h1 = jax.nn.gelu(L.conv2d(cp["conv1"], h1))
-            cc_params = L.conv2d(cp["conv2"], h1)
-
-            epp = params["ep"][si]
-
-            def ep_fn(sc_params):
-                feats = jnp.concatenate([hyper, sc_params, cc_params],
-                                        axis=-1)
-                e = jax.nn.gelu(L.conv2d(epp["conv0"], feats))
-                e = jax.nn.gelu(L.conv2d(epp["conv1"], e))
-                return L.conv2d(epp["conv2"], e)
+            cc_params = self.slice_cc(params, support, i)
 
             # pass 1: anchors (no spatial context)
-            gp = ep_fn(jnp.zeros_like(cc_params))
-            scales1, means1 = jnp.split(gp, 2, axis=-1)
+            scales1, means1 = self.slice_ep(
+                params, hyper, jnp.zeros_like(cc_params), cc_params, i)
             y_hat_slice = E.quantize_ste(y_slice - means1) + means1
 
-            if two_pass:
-                # pass 2: non-anchors see the anchor half through the
-                # checkerboard-masked conv
-                y_half = y_hat_slice * anchor
-                sc_params = L.masked_conv2d(params["sc"][si], y_half,
-                                            mask[i])
-                sc_params = sc_params * (1.0 - anchor)
-                gp = ep_fn(sc_params)
-                scales2, means2 = jnp.split(gp, 2, axis=-1)
-                y_hat_slice = E.quantize_ste(y_slice - means2) + means2
-            else:
-                scales2, means2 = scales1, means1
+            # pass 2: non-anchors see the anchor half through the
+            # checkerboard-masked conv
+            y_half = y_hat_slice * anchor
+            sc_params = self.slice_sc(params, y_half, i)
+            sc_params = sc_params * (1.0 - anchor)
+            scales2, means2 = self.slice_ep(params, hyper, sc_params,
+                                            cc_params, i)
+            y_hat_anchor = (E.quantize_ste(y_slice - means1) + means1) \
+                * anchor
+            y_hat_nonanchor = (E.quantize_ste(y_slice - means2) + means2) \
+                * (1.0 - anchor)
+            y_hat_slice = y_hat_anchor + y_hat_nonanchor
 
             y_hat_slices.append(y_hat_slice)
-            y_liks.append(E.gaussian_likelihood(y_slice, scales2, means2))
+            scales = scales1 * anchor + scales2 * (1.0 - anchor)
+            means = means1 * anchor + means2 * (1.0 - anchor)
+            y_liks.append(E.gaussian_likelihood(y_slice, scales, means))
+            if return_coding:
+                coding.append({"scales1": scales1, "means1": means1,
+                               "scales2": scales2, "means2": means2,
+                               "y_hat": y_hat_slice})
 
-        return (jnp.concatenate(y_hat_slices, axis=-1),
-                jnp.concatenate(y_liks, axis=-1))
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        y_lik = jnp.concatenate(y_liks, axis=-1)
+        if return_coding:
+            return y_hat, y_lik, coding
+        return y_hat, y_lik
 
     # -- forward ------------------------------------------------------------
 
