@@ -1,0 +1,242 @@
+"""Wavefront-parallel autoregressive codec for causal-context models
+(Minnen2018 / Cheng2020 / Lu2022).
+
+The reference decodes these models with a pixel-serial Python loop — one
+masked conv + entropy-parameter network call per latent pixel
+(nic_cvt.py:451-483 encode, :525-565 decode: H×W ≈ 1536 serial steps for a
+768×512 image). That schedule is hostile to any accelerator.
+
+TPU-native redesign: with the 5×5 type-'A' causal mask, pixel (i, j)
+depends only on (i, j-1) in its own row and (i-1, j+2) in the rows above,
+so every anti-diagonal wave ``t = 3·i + j`` is computable in parallel.
+That turns H×W serial steps into ``3·(H-1) + W`` waves (~10× fewer for a
+48×32 latent), each wave a batched gather → masked-kernel contraction →
+pointwise entropy-parameter MLP over ≤P pixels — all jitted device code.
+The host only runs the rANS coder: once at the end for encoding, and one
+streaming chunk per wave for decoding.
+
+Both encode and decode run the SAME jitted wave-step functions, so the
+Gaussian parameters agree bitwise and the conditional bitstream decodes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.layers import causal_mask
+from ..ops import entropy as E
+from . import rans
+from .codec import (CodecTables, compress_factorized,
+                    decompress_factorized)
+
+
+@functools.lru_cache(maxsize=None)
+def wavefront_schedule(h: int, w: int) -> Tuple[np.ndarray, np.ndarray]:
+    """Static schedule: for each wave t = 3i + j, the pixel list.
+
+    Returns (pixels, counts): pixels (T, P, 2) int32 padded with zeros,
+    counts (T,) the number of valid pixels per wave. Order within a wave is
+    increasing i — the canonical symbol order of the bitstream.
+    """
+    waves: Dict[int, List[Tuple[int, int]]] = {}
+    for i in range(h):
+        for j in range(w):
+            waves.setdefault(3 * i + j, []).append((i, j))
+    T = 3 * (h - 1) + w
+    P = max(len(v) for v in waves.values())
+    pixels = np.zeros((T, P, 2), np.int32)
+    counts = np.zeros(T, np.int32)
+    for t in range(T):
+        pts = sorted(waves.get(t, []))
+        counts[t] = len(pts)
+        for p, (i, j) in enumerate(pts):
+            pixels[t, p] = (i, j)
+    return pixels, counts
+
+
+def _ep_pointwise(params, feats):
+    """Entropy-parameter 1x1-conv chain applied to (P, C) feature rows
+    (identical math to the conv form — the kernels are 1x1)."""
+    h = feats
+    for name in ("conv0", "conv1"):
+        p = params["ep"][name]
+        h = jax.nn.leaky_relu(
+            h @ p["w"].reshape(p["w"].shape[2], p["w"].shape[3]) + p["b"],
+            0.01)
+    p = params["ep"]["conv2"]
+    return h @ p["w"].reshape(p["w"].shape[2], p["w"].shape[3]) + p["b"]
+
+
+@functools.lru_cache(maxsize=16)
+def _wave_fns(model, h: int, w: int):
+    """Jitted wave-step functions for a given latent resolution, shared by
+    encode and decode."""
+    M = model.latent_channels
+    pixels, counts = wavefront_schedule(h, w)
+    pixels_j = jnp.asarray(pixels)
+    kmask = causal_mask(5, M, 2 * M)
+
+    def wave_params(params, y_hat_pad, hyper, t):
+        """For wave t: gather 5x5 neighborhoods of the padded y_hat,
+        contract with the masked context kernel, run the pointwise EP
+        chain -> (scales, means) for the wave's P pixel slots."""
+        pts = pixels_j[t]  # (P, 2)
+        kernel = params["context"]["w"] * kmask
+
+        def one(pt):
+            i, j = pt[0], pt[1]
+            nb = jax.lax.dynamic_slice(y_hat_pad, (i, j, 0), (5, 5, M))
+            ctx_p = jnp.einsum("hwc,hwco->o", nb, kernel) \
+                + params["context"]["b"]
+            hy = jax.lax.dynamic_slice(hyper, (i, j, 0),
+                                       (1, 1, hyper.shape[-1]))[0, 0]
+            gp = _ep_pointwise(params, jnp.concatenate([hy, ctx_p])[None])
+            return gp[0]
+
+        gp = jax.vmap(one)(pts)  # (P, 2M)
+        scales, means = jnp.split(gp, 2, axis=-1)
+        return scales, means
+
+    def wave_update(y_hat_pad, t, values, valid):
+        """Scatter decoded/quantized values of wave t into the padded
+        buffer (slots beyond the wave's count carry valid=False)."""
+        pts = pixels_j[t]
+
+        def body(buf, args):
+            pt, val, ok = args
+            # pixel (i, j) lives at (i+2, j+2) in the padded buffer
+            i, j = pt[0] + 2, pt[1] + 2
+            cur = jax.lax.dynamic_slice(buf, (i, j, 0), (1, 1, M))
+            new = jnp.where(ok, val.reshape(1, 1, M), cur)
+            return jax.lax.dynamic_update_slice(buf, new, (i, j, 0)), None
+
+        buf, _ = jax.lax.scan(body, y_hat_pad, (pts, values, valid))
+        return buf
+
+    def encode_scan(params, y, hyper):
+        """Full encode pass on device: scan over waves producing symbols
+        (T, P) and scale values (T, P, M) in canonical order."""
+        T = pixels.shape[0]
+        P = pixels.shape[1]
+        valid = jnp.asarray(
+            np.arange(P)[None, :] < counts[:, None])  # (T, P)
+        y_hat_pad = jnp.zeros((h + 4, w + 4, M), y.dtype)
+
+        def step(buf, t):
+            scales, means = wave_params(params, buf, hyper, t)
+            pts = pixels_j[t]
+            y_vals = jax.vmap(
+                lambda pt: jax.lax.dynamic_slice(y, (pt[0], pt[1], 0),
+                                                 (1, 1, M))[0, 0])(pts)
+            sym = jnp.round(y_vals - means).astype(jnp.int32)
+            y_hat_vals = sym.astype(y.dtype) + means
+            buf = wave_update(buf, t, y_hat_vals, valid[t])
+            return buf, (sym, scales)
+
+        buf, (syms, scales) = jax.lax.scan(step, y_hat_pad,
+                                           jnp.arange(T))
+        return buf[2:-2, 2:-2, :], syms, scales
+
+    return {"pixels": pixels, "counts": counts,
+            "wave_params": jax.jit(wave_params),
+            "wave_update": jax.jit(wave_update),
+            "encode_scan": jax.jit(encode_scan)}
+
+
+def ar_compress(model, params, x, tables: CodecTables) -> Dict:
+    """Compress with the causal-context codec. All transform and context
+    math on device; a single host rANS encode at the end."""
+    @jax.jit
+    def analysis(params, x):
+        y = model.g_a.run(params, x)
+        z = model.h_a.run(params, y)
+        return y, z
+
+    y, z = analysis(params, jnp.asarray(x))
+    z_string = compress_factorized(tables, np.asarray(z))
+    z_hat = jnp.asarray(decompress_factorized(
+        tables, z_string, (int(z.shape[1]), int(z.shape[2]))))
+    hyper = _hyper_fn(model)(params, z_hat)
+
+    h, w = int(y.shape[1]), int(y.shape[2])
+    fns = _wave_fns(model, h, w)
+    _, syms, scales = fns["encode_scan"](params, y[0], hyper[0])
+    # canonical flatten: wave order, valid slots, channel-major per pixel
+    counts = fns["counts"]
+    syms_np = np.asarray(syms)
+    scales_np = np.asarray(scales)
+    sym_list, idx_list = [], []
+    table_j = jnp.asarray(tables.scale_table)
+    idx_all = np.asarray(E.build_indexes(table_j, jnp.asarray(scales_np)))
+    for t in range(syms_np.shape[0]):
+        n = counts[t]
+        if n == 0:
+            continue
+        sym_list.append(syms_np[t, :n].reshape(-1))
+        idx_list.append(idx_all[t, :n].reshape(-1))
+    g = tables.gaussian
+    y_string = rans.encode_with_indexes(
+        np.concatenate(sym_list), np.concatenate(idx_list), g.cdf,
+        g.cdf_lengths, g.offsets)
+    return {"strings": [y_string, z_string],
+            "shape": (int(z.shape[1]), int(z.shape[2])),
+            "y_shape": (h, w)}
+
+
+@functools.lru_cache(maxsize=16)
+def _hyper_fn(model):
+    return jax.jit(lambda p, z: model.h_s.run(p, z))
+
+
+@functools.lru_cache(maxsize=16)
+def _synthesis_fn(model):
+    return jax.jit(lambda p, y: model.g_s.run(p, y))
+
+
+def ar_decompress(model, params, strings: List[bytes],
+                  shape: Tuple[int, int], y_shape: Tuple[int, int],
+                  tables: CodecTables) -> np.ndarray:
+    """Wavefront decode: per wave, the device computes (scales, means),
+    the host rANS-decodes that wave's symbols, and the device scatters the
+    reconstruction — 3(h-1)+w host↔device round trips instead of h·w."""
+    y_string, z_string = strings
+    z_hat = jnp.asarray(decompress_factorized(tables, z_string, shape))
+    hyper = _hyper_fn(model)(params, z_hat)
+    h, w = y_shape
+    M = model.latent_channels
+    fns = _wave_fns(model, h, w)
+    pixels, counts = fns["pixels"], fns["counts"]
+    dec = rans.RansDecoderStream(y_string)
+    g = tables.gaussian
+    table_j = jnp.asarray(tables.scale_table)
+
+    hyper0 = hyper[0]
+    y_hat_pad = jnp.zeros((h + 4, w + 4, M), jnp.float32)
+    P = pixels.shape[1]
+    for t in range(pixels.shape[0]):
+        n = int(counts[t])
+        if n == 0:
+            continue
+        scales, means = fns["wave_params"](params, y_hat_pad, hyper0,
+                                           jnp.int32(t))
+        scales_np = np.asarray(scales)[:n]
+        idx = np.asarray(E.build_indexes(table_j, jnp.asarray(scales_np)))
+        sym = dec.decode(idx.reshape(-1), g.cdf, g.cdf_lengths, g.offsets)
+        vals = np.zeros((P, M), np.float32)
+        vals[:n] = sym.reshape(n, M) + np.asarray(means)[:n]
+        valid = np.arange(P) < n
+        y_hat_pad = fns["wave_update"](y_hat_pad, jnp.int32(t),
+                                      jnp.asarray(vals),
+                                      jnp.asarray(valid))
+    dec.close()
+    y_hat = y_hat_pad[2:-2, 2:-2, :][None]
+    x_hat = _synthesis_fn(model)(params, y_hat)
+    return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+
+__all__ = ["wavefront_schedule", "ar_compress", "ar_decompress"]

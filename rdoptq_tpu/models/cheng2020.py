@@ -234,6 +234,10 @@ class Cheng2020:
                 "likelihoods": {"y": y_lik, "z": z_lik},
                 "y": y, "y_hat": y_hat, "z": z}
 
+    @property
+    def latent_channels(self) -> int:
+        return self.N
+
     def latent_downscale(self) -> int:
         return 16
 

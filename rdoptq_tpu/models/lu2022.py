@@ -212,6 +212,10 @@ class Lu2022:
                 "likelihoods": {"y": y_lik, "z": z_lik},
                 "y": y, "y_hat": y_hat, "z": z}
 
+    @property
+    def latent_channels(self) -> int:
+        return self.latent_dim
+
     def latent_downscale(self) -> int:
         return 16
 

@@ -222,6 +222,10 @@ class Minnen2018:
                 "likelihoods": {"y": y_lik, "z": z_lik},
                 "y": y, "y_hat": y_hat, "z": z}
 
+    @property
+    def latent_channels(self) -> int:
+        return self.M
+
     def latent_downscale(self) -> int:
         return 16
 
