@@ -139,13 +139,23 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1,
 
 
 def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
-    """Transposed conv producing exactly ``stride``× upsampling (the
-    reference's deconv k5 s2 p2 op1 / subpel equivalents). Kernel HWIO."""
+    """Transposed conv producing exactly ``stride``× upsampling, with
+    torch ConvTranspose2d(k, s, padding=k//2, output_padding=s-1)
+    semantics — the universal deconv config in the reference zoo. Kernel
+    HWIO, already spatially flipped relative to torch storage (see
+    utils.torch_convert.tconv_kernel).
+
+    Implemented as an input-dilated convolution with the asymmetric
+    padding torch's output_padding implies (low = k-1-k//2,
+    high = low + s-1); a symmetric 'SAME' conv_transpose would shift the
+    output by half a pixel."""
     k = p["w"].shape[0]
-    # torch ConvTranspose2d(k, s, padding=k//2 (=2 for k5), output_padding=s-1)
-    # == lax.conv_transpose with 'SAME' padding for even upscale
-    out = jax.lax.conv_transpose(
-        x, p["w"], strides=(stride, stride), padding="SAME",
+    pad_lo = k - 1 - k // 2
+    pad_hi = pad_lo + stride - 1
+    out = jax.lax.conv_general_dilated(
+        x, p["w"], window_strides=(1, 1),
+        padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+        lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
         out = out + p["b"]
