@@ -1,0 +1,148 @@
+"""Task-oriented PTQ calibration driver.
+
+The TPU-native equivalent of the reference's `main2.py` pipeline
+(parse args -> run dirs -> logger -> model load -> FP32 anchor eval ->
+quant wrap + first/last-8bit policy -> scale init -> W-quant eval ->
+per-unit RDO reconstruction -> W-opt eval -> W+A eval -> save artifact;
+main2.py:143-318). Run:
+
+    python -m rdoptq_tpu.cli.calibrate --arch Minnen2018 --quality 6 \
+        --iters_w 20000 --act_quant --save
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import logging
+import os
+import sys
+import time
+
+import jax
+import numpy as np
+
+from ..eval import datasets, harness
+from ..models import registry
+from ..models.layers import NULL_CTX, QuantCtx
+from ..quant import policy, rdo, wrap
+from ..utils import checkpoint, config
+from ..utils.logging_utils import MetricsLogger, Timer, setup_logger
+
+log = logging.getLogger("calibrate")
+
+
+def pad_multiple_for(arch: str) -> int:
+    # Lu2022 needs H/64 divisible by the hyper window (reference pads to
+    # 256, test_datasets.py:90-92); everything else to 64.
+    return 256 if arch == "Lu2022" else 64
+
+
+def evaluate_state(model, params, state, images, act_quant: bool,
+                   act_bits: int, skips: frozenset, pad: int):
+    """Evaluate the current quantized model (trained leaves hard-rounded,
+    untrained nearest-rounded — the reference's eval quant state)."""
+    params_q = state.quantized_params(params, untrained="nearest")
+    ctx = NULL_CTX
+    if act_quant:
+        ctx = QuantCtx(act_paths=frozenset(state.trained_stages),
+                       act_kind="dynamic", act_bits=act_bits,
+                       skip_paths=skips)
+    return harness.evaluate(model, params_q, images, ctx=ctx,
+                            pad_multiple=pad)
+
+
+def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
+    out_dir, log_dir = config.init_run_dirs(cfg)
+    setup_logger(log_dir)
+    metrics = MetricsLogger(log_dir)
+    log.info("config: %s", cfg)
+
+    model = registry.build_model(cfg.arch, cfg.quality, lam=cfg.lmbda)
+    params = registry.load_params(model, cfg.arch, checkpoint_path,
+                                  seed=cfg.seed)
+    pad = pad_multiple_for(cfg.arch)
+
+    test_dir = cfg.test_dir or datasets.DEFAULT_KODAK
+    images = datasets.kodak(test_dir)
+    calib_src = datasets.load_dir(cfg.calib_dir) if cfg.calib_dir else images
+    cali = datasets.random_crops(calib_src, cfg.num_samples,
+                                 cfg.patch_size, cfg.seed)
+
+    results = {}
+    if cfg.test_before_calibration:
+        with Timer() as t:
+            res = harness.evaluate(model, params, images, pad_multiple=pad)
+        log.info("FP32 anchor:      %s", res.row())
+        results["fp32"] = res
+
+    leaves = wrap.find_quant_leaves(params)
+    overrides = () if cfg.disable_8bit_head_stem \
+        else policy.first_last_8bit(leaves)
+    wcfg = wrap.WeightQuantConfig(
+        n_bits=cfg.n_bits_w, channel_wise=cfg.channel_wise,
+        scale_method=cfg.init, sym=cfg.sym, bit_overrides=overrides)
+    skips = policy.output_act_skips(model)
+
+    state = rdo.init_ptq_state(params, wcfg)
+    if cfg.test_before_calibration:
+        # W-quant (nearest, unoptimized) — reference main2.py:211
+        params_near = state.quantized_params(
+            params, extra={}, untrained="nearest")
+        res = harness.evaluate(model, params_near, images,
+                               pad_multiple=pad)
+        log.info("W%d nearest:       %s", cfg.n_bits_w, res.row())
+        results["w_nearest"] = res
+
+    rcfg = rdo.RDOConfig(
+        iters=cfg.iters_w, batch_size=cfg.batch_size, weight=cfg.weight,
+        b_start=cfg.b_start, b_end=cfg.b_end, warmup=cfg.warmup,
+        input_prob=cfg.input_prob, lr=cfg.lr, task_p=cfg.task_loss,
+        act_quant=cfg.act_quant, act_bits=cfg.n_bits_a)
+
+    with Timer() as t:
+        key = jax.random.PRNGKey(cfg.seed)
+        for coder_name in model.calibration_order():
+            coder = model.coders[coder_name]
+            for k in range(len(coder.stages)):
+                key, sub = jax.random.split(key)
+                info = rdo.calibrate_unit(model, params, state, coder, k,
+                                          cali, rcfg, skips, sub)
+                for name, v in info.items():
+                    if isinstance(v, float):
+                        metrics.update(f"calib/{name}", v)
+    log.info("calibration wall-clock: %.1fs", t.seconds)
+    results["calibration_seconds"] = t.seconds
+
+    res = evaluate_state(model, params, state, images, False,
+                         cfg.n_bits_a, skips, pad)
+    log.info("W%d optimized:     %s", cfg.n_bits_w, res.row())
+    results["w_opt"] = res
+
+    if cfg.act_quant:
+        res = evaluate_state(model, params, state, images, True,
+                             cfg.n_bits_a, skips, pad)
+        log.info("W%dA%d optimized:  %s", cfg.n_bits_w, cfg.n_bits_a,
+                 res.row())
+        results["wa_opt"] = res
+
+    if cfg.save:
+        tag = "CW" if cfg.channel_wise else "LW"
+        name = (f"{cfg.arch}_Q{cfg.quality}_W{cfg.n_bits_w}A{cfg.n_bits_a}"
+                f"_prob{cfg.input_prob}_task{cfg.task_loss}_{cfg.init}-init"
+                f"_{tag}.npz")
+        path = os.path.join(out_dir, name)
+        checkpoint.save_ptq_state(path, state)
+        log.info("saved quantized artifact: %s", path)
+        results["artifact"] = path
+
+    metrics.close()
+    return results
+
+
+def main(argv=None):
+    cfg = config.parse_args(argv)
+    run(cfg)
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,119 @@
+"""BD-rate sweep driver: evaluate FP32 vs quantized across qualities and
+compute the Bjøntegaard deltas.
+
+The TPU-native equivalent of the reference's notebook sweep
+(test_datasets.ipynb cells 12-26 feeding BD-rate.py). Run:
+
+    python -m rdoptq_tpu.cli.sweep --arch Cheng2020 --n_bits_w 8 \
+        --qualities 1,2,3,4,5,6
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import os
+
+import jax
+
+from ..eval import bdrate, datasets, harness
+from ..models import registry
+from ..models.layers import NULL_CTX, QuantCtx
+from ..quant import policy, rdo, wrap
+from ..utils.logging_utils import setup_logger
+from .calibrate import pad_multiple_for
+
+log = logging.getLogger("sweep")
+
+
+def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
+        n_bits_w: int = 8, n_bits_a: int = 8, act_quant: bool = True,
+        iters_w: int = 0, test_dir: str = "", ckpt_pattern: str = "",
+        out_path: str = "./results/sweep.json", seed: int = 1005) -> dict:
+    """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
+    the full per-unit calibration at each quality."""
+    setup_logger(os.path.dirname(out_path) or ".")
+    images = datasets.kodak(test_dir or datasets.DEFAULT_KODAK)
+    pad = pad_multiple_for(arch)
+
+    anchor, test = {"bpp": [], "psnr": []}, {"bpp": [], "psnr": []}
+    per_quality = {}
+    for q in qualities:
+        model = registry.build_model(arch, q)
+        ckpt = ckpt_pattern.format(quality=q) if ckpt_pattern else ""
+        params = registry.load_params(model, arch, ckpt, seed=seed + q)
+
+        res_fp = harness.evaluate(model, params, images, pad_multiple=pad)
+        anchor["bpp"].append(res_fp.bpp)
+        anchor["psnr"].append(res_fp.psnr)
+
+        leaves = wrap.find_quant_leaves(params)
+        wcfg = wrap.WeightQuantConfig(
+            n_bits=n_bits_w, channel_wise=True,
+            bit_overrides=policy.first_last_8bit(leaves))
+        skips = policy.output_act_skips(model)
+        state = rdo.init_ptq_state(params, wcfg)
+        if iters_w > 0:
+            cali = datasets.random_crops(images, 12, 256, seed)
+            rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
+                                 act_bits=n_bits_a)
+            key = jax.random.PRNGKey(seed)
+            for cname in model.calibration_order():
+                coder = model.coders[cname]
+                for k in range(len(coder.stages)):
+                    key, sub = jax.random.split(key)
+                    rdo.calibrate_unit(model, params, state, coder, k,
+                                       cali, rcfg, skips, sub)
+        params_q = state.quantized_params(params, untrained="nearest")
+        ctx = QuantCtx(act_paths=frozenset(
+            st.name for c in model.coders.values() for st in c.stages),
+            act_kind="dynamic", act_bits=n_bits_a,
+            skip_paths=skips) if act_quant else NULL_CTX
+        res_q = harness.evaluate(model, params_q, images, ctx=ctx,
+                                 pad_multiple=pad)
+        test["bpp"].append(res_q.bpp)
+        test["psnr"].append(res_q.psnr)
+        per_quality[q] = {"fp32": dataclass_row(res_fp),
+                          "quant": dataclass_row(res_q)}
+        log.info("q%d fp32 %s | quant %s", q, res_fp.row(), res_q.row())
+
+    out = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
+           "per_quality": per_quality}
+    if len(qualities) >= 4:
+        out["bd_rate_pct"] = bdrate.bd_rate(anchor["bpp"], anchor["psnr"],
+                                            test["bpp"], test["psnr"])
+        out["bd_psnr_db"] = bdrate.bd_psnr(anchor["bpp"], anchor["psnr"],
+                                           test["bpp"], test["psnr"])
+        log.info("BD-rate: %.2f%%  BD-PSNR: %.3f dB", out["bd_rate_pct"],
+                 out["bd_psnr_db"])
+    os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
+    with open(out_path, "w") as f:
+        json.dump(out, f, indent=2)
+    return out
+
+
+def dataclass_row(res) -> dict:
+    return {"psnr": res.psnr, "ms_ssim": res.ms_ssim, "bpp": res.bpp}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("--arch", default="Cheng2020")
+    p.add_argument("--qualities", default="1,2,3,4,5,6")
+    p.add_argument("--n_bits_w", type=int, default=8)
+    p.add_argument("--n_bits_a", type=int, default=8)
+    p.add_argument("--act_quant", action="store_true")
+    p.add_argument("--iters_w", type=int, default=0)
+    p.add_argument("--test_dir", default="")
+    p.add_argument("--ckpt_pattern", default="",
+                   help="e.g. ckpts/minnen_{quality}.npz")
+    p.add_argument("--out", default="./results/sweep.json")
+    a = p.parse_args(argv)
+    run(a.arch, tuple(int(x) for x in a.qualities.split(",")), a.n_bits_w,
+        a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
+        a.out)
+
+
+if __name__ == "__main__":
+    main()

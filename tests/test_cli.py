@@ -1,0 +1,83 @@
+"""Smoke tests for the CLI drivers on tiny models/datasets."""
+
+import json
+import os
+
+import jax
+import numpy as np
+import pytest
+
+from rdoptq_tpu.eval import datasets
+from rdoptq_tpu.utils import config
+
+
+def _has_kodak():
+    return os.path.isdir(datasets.DEFAULT_KODAK)
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_calibrate_driver_minnen_tiny(tmp_path, monkeypatch):
+    """End-to-end calibrate pipeline: FP anchor -> nearest -> 3-iter RDO ->
+    W/WA eval -> artifact save, on a tiny Minnen and 2 Kodak images."""
+    from rdoptq_tpu.cli import calibrate
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: Minnen2018(N=8, M=8))
+    monkeypatch.setattr(datasets, "kodak",
+                        lambda d=None, limit=None:
+                        datasets.load_dir(datasets.DEFAULT_KODAK, 2))
+    cfg = config.RunConfig(arch="Minnen2018", quality=1, iters_w=3,
+                           num_samples=4, batch_size=2, act_quant=True,
+                           save=True, results_dir=str(tmp_path),
+                           name="t", patch_size=64)
+    results = calibrate.run(cfg)
+    assert "fp32" in results and "w_opt" in results and "wa_opt" in results
+    assert os.path.exists(results["artifact"])
+    # quantization at W8 on a random model shouldn't catastrophically
+    # diverge from the FP anchor
+    assert abs(results["w_opt"].psnr - results["fp32"].psnr) < 10
+
+    # artifact reloads
+    from rdoptq_tpu.utils.checkpoint import load_ptq_state
+    state = load_ptq_state(results["artifact"])
+    assert len(state.trained_leaves) > 0
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_quantize_driver_tinylic(tmp_path, monkeypatch):
+    from rdoptq_tpu.cli import quantize as qcli
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.tinylic import TinyLIC
+
+    monkeypatch.setattr(
+        registry, "build_model",
+        lambda arch, q, lam=None: TinyLIC(N=16, M=24, slices=(8, 16),
+                                          depths=(1, 1, 1, 1, 1, 1)))
+    res = qcli.run(arch="TinyLIC", mode="INT8",
+                   out_dir=str(tmp_path / "q"))
+    assert res["int8_size_mb"] < res["fp32_size_mb"] * 0.6
+    assert "int8" in res and np.isfinite(res["int8"]["psnr"])
+    assert res["int8"]["enc_s"] > 0 and res["int8"]["dec_s"] > 0
+    assert os.path.exists(res["artifact"])
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_sweep_driver(tmp_path, monkeypatch):
+    from rdoptq_tpu.cli import sweep
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: Minnen2018(N=8, M=8))
+    monkeypatch.setattr(datasets, "kodak",
+                        lambda d=None, limit=None:
+                        datasets.load_dir(datasets.DEFAULT_KODAK, 1))
+    out = sweep.run(arch="Minnen2018", qualities=(1, 2, 3, 4),
+                    iters_w=0, act_quant=False,
+                    out_path=str(tmp_path / "sweep.json"))
+    assert "bd_rate_pct" in out
+    assert os.path.exists(tmp_path / "sweep.json")
+    data = json.load(open(tmp_path / "sweep.json"))
+    assert len(data["per_quality"]) == 4
