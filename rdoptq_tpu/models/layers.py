@@ -58,6 +58,7 @@ class QuantCtx:
     act_kind: str = "dynamic"
     act_bits: int = 8
     skip_paths: frozenset = frozenset()
+    use_pallas: bool = False  # fused TPU kernels (ops.pallas_quant)
 
     def act(self, path: str, x: jax.Array) -> jax.Array:
         # internal hook sites use "stage#site" and inherit the stage's
@@ -68,8 +69,14 @@ class QuantCtx:
         if path not in self.act_paths and base not in self.act_paths:
             return x
         if self.act_kind == "dynamic":
+            if self.use_pallas:
+                from ..ops.pallas_quant import dynamic_act_quant_pallas
+                return dynamic_act_quant_pallas(x, n_bits=self.act_bits)
             return Q.dynamic_act_fake_quant(x, n_bits=self.act_bits)
         if self.act_kind == "q88":
+            if self.use_pallas:
+                from ..ops.pallas_quant import fixed_point_quant_pallas
+                return fixed_point_quant_pallas(x)
             return Q.fixed_point_act_quant(x)
         raise ValueError(f"unknown act_kind {self.act_kind!r}")
 

@@ -39,3 +39,27 @@ def test_dryrun_multichip_entrypoint():
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
     mod.dryrun_multichip(len(jax.devices()))
+
+
+def test_evaluate_sharded_matches_singledevice():
+    import numpy as np
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.parallel import eval as peval
+    from rdoptq_tpu.parallel import mesh as pmesh
+
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(0)
+    imgs = [np.clip(rng.random((1, 64, 96, 3)).astype(np.float32)
+                    * 0.5 + 0.25, 0, 1) for _ in range(5)]
+    mesh = pmesh.make_mesh(dp=4, tp=2)
+    res = peval.evaluate_sharded(model, params, imgs, mesh,
+                                 pad_multiple=64)
+    assert len(res.per_image) == 5
+    assert np.isfinite(res.psnr) and res.bpp > 0
+    # shapes are already multiples of 64 -> no padding; compare against
+    # the single-device harness
+    from rdoptq_tpu.eval import harness
+    ref = harness.evaluate(model, params, imgs, pad_multiple=64)
+    assert abs(res.psnr - ref.psnr) < 0.05
+    assert abs(res.bpp - ref.bpp) < 1e-3
