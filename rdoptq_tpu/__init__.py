@@ -22,3 +22,23 @@ Package layout
 """
 
 __version__ = "0.1.0"
+
+
+def _enable_compile_cache():
+    """Persistent XLA compilation cache: TPU compiles of the full models
+    are expensive (minutes over a remote-compile tunnel); caching them
+    makes every process after the first start hot."""
+    import os
+    try:
+        import jax
+        path = os.environ.get("RDOPTQ_JAX_CACHE",
+                              os.path.expanduser("~/.cache/rdoptq_jax"))
+        os.makedirs(path, exist_ok=True)
+        jax.config.update("jax_compilation_cache_dir", path)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)
+    except Exception:  # pragma: no cover - cache is best-effort
+        pass
+
+
+_enable_compile_cache()

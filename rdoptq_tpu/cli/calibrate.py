@@ -101,12 +101,13 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
 
     with Timer() as t:
         key = jax.random.PRNGKey(cfg.seed)
+        cache = rdo.CoderCache(model, params, cali, rcfg, skips)
         for coder_name in model.calibration_order():
             coder = model.coders[coder_name]
             for k in range(len(coder.stages)):
                 key, sub = jax.random.split(key)
                 info = rdo.calibrate_unit(model, params, state, coder, k,
-                                          cali, rcfg, skips, sub)
+                                          cali, rcfg, skips, sub, cache)
                 for name, v in info.items():
                     if isinstance(v, float):
                         metrics.update(f"calib/{name}", v)

@@ -59,15 +59,20 @@ class QuantCtx:
     act_bits: int = 8
     skip_paths: frozenset = frozenset()
     use_pallas: bool = False  # fused TPU kernels (ops.pallas_quant)
+    # Optional TRACED gating: {stage_name: bool scalar}. When set, a stage
+    # quantizes iff its gate is True — the gate is a runtime value, so one
+    # compiled program serves every act-quant on/off combination (the
+    # calibration engine flips stages on as they finish training without
+    # recompiling; ~2 elementwise passes of overhead per gated stage).
+    gates: Optional[dict] = None
 
-    def act(self, path: str, x: jax.Array) -> jax.Array:
-        # internal hook sites use "stage#site" and inherit the stage's
-        # enabled/skip status (e.g. attention-internal act quant)
-        base = path.split("#", 1)[0]
-        if path in self.skip_paths or base in self.skip_paths:
-            return x
-        if path not in self.act_paths and base not in self.act_paths:
-            return x
+    def __hash__(self):  # gates hold tracers; identity-hash in that case
+        if self.gates is None:
+            return hash((self.act_paths, self.act_kind, self.act_bits,
+                         self.skip_paths, self.use_pallas))
+        return id(self)
+
+    def _quantize(self, x: jax.Array) -> jax.Array:
         if self.act_kind == "dynamic":
             if self.use_pallas:
                 from ..ops.pallas_quant import dynamic_act_quant_pallas
@@ -79,6 +84,22 @@ class QuantCtx:
                 return fixed_point_quant_pallas(x)
             return Q.fixed_point_act_quant(x)
         raise ValueError(f"unknown act_kind {self.act_kind!r}")
+
+    def act(self, path: str, x: jax.Array) -> jax.Array:
+        # internal hook sites use "stage#site" and inherit the stage's
+        # enabled/skip status (e.g. attention-internal act quant)
+        base = path.split("#", 1)[0]
+        if path in self.skip_paths or base in self.skip_paths:
+            return x
+        if self.gates is not None:
+            gate = self.gates.get(base)
+            if gate is None:
+                return x
+            import jax.numpy as jnp
+            return jnp.where(gate, self._quantize(x), x)
+        if path not in self.act_paths and base not in self.act_paths:
+            return x
+        return self._quantize(x)
 
 
 NULL_CTX = QuantCtx()

@@ -58,6 +58,7 @@ class RDOConfig:
     task_p: float = 2.0           # task-loss exponent (--task_loss)
     act_quant: bool = False
     act_bits: int = 8
+    act_kind: str = "dynamic"
 
 
 @dataclasses.dataclass
@@ -107,49 +108,109 @@ def init_ptq_state(params, wcfg: wrap.WeightQuantConfig) -> PTQState:
     return PTQState(qstate=qstate, cfg=wcfg)
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=64)
+def _coder_tape_fn(model, coder_name: str, act_kind: str, act_bits: int,
+                   skip_act: frozenset):
+    """ONE jitted full-model forward per coder that returns every stage
+    input (+ the coder's final output) of that coder. Parameters AND the
+    per-stage act-quant gates are traced arguments, so this compiles once
+    and serves the FP pass, every per-unit quantized-prefix pass, and every
+    trained-set combination (the reference re-runs hooks and re-traces
+    nothing-reusable per layer instead, utils.py:92-139)."""
+    coder = model.coders[coder_name]
+    filt = frozenset({st.name + ":in" for st in coder.stages}
+                     | {coder.stages[-1].name + ":out"})
+
+    @jax.jit
+    def run(params, x, gates):
+        ctx = QuantCtx(act_kind=act_kind, act_bits=act_bits,
+                       skip_paths=skip_act, gates=dict(gates))
+        tape = {}
+        model.forward(params, x, ctx=ctx, tape=tape, tape_filter=filt)
+        return tape
+
+    return run
+
+
+def _all_gates(model, trained, enabled: bool):
+    """Boolean gate per stage: act-quant fires for trained stages only
+    (quant_layer.py:132)."""
+    gates = {}
+    for coder in model.coders.values():
+        for st in coder.stages:
+            on = enabled and (st.name in trained)
+            gates[st.name] = jnp.asarray(on)
+    return gates
+
+
+class CoderCache:
+    """Per-calibration-run cache of FP tapes (identical for every unit of a
+    coder, so computed once per coder)."""
+
+    def __init__(self, model, params, cali_data, cfg: RDOConfig,
+                 skip_act: frozenset):
+        self.model = model
+        self.params = params
+        self.cali = cali_data
+        self.cfg = cfg
+        self.skip_act = skip_act
+        self._fp: Dict[str, dict] = {}
+
+    def tape_fn(self, coder_name: str):
+        return _coder_tape_fn(self.model, coder_name, self.cfg.act_kind,
+                              self.cfg.act_bits, self.skip_act)
+
+    def fp_tape(self, coder_name: str) -> dict:
+        if coder_name not in self._fp:
+            gates = _all_gates(self.model, (), False)
+            self._fp[coder_name] = self.tape_fn(coder_name)(
+                self.params, self.cali, gates)
+        return self._fp[coder_name]
+
+    def q_tape(self, coder_name: str, state: "PTQState") -> dict:
+        params_q = state.quantized_params(self.params)
+        gates = _all_gates(self.model, frozenset(state.trained_stages),
+                           self.cfg.act_quant)
+        return self.tape_fn(coder_name)(params_q, self.cali, gates)
+
+
 def _unit_caches(model, params, state: PTQState, coder: Coder, k: int,
-                 cali_data, cfg: RDOConfig, skip_act: frozenset):
+                 cali_data, cfg: RDOConfig, skip_act: frozenset,
+                 cache: Optional[CoderCache] = None):
     """Collect (fp_in, quant_in, fp_out, fp_net_out) for stage k of coder."""
+    if cache is None:
+        cache = CoderCache(model, params, cali_data, cfg, skip_act)
     stage = coder.stages[k]
-    filt = frozenset({stage.name + ":in", stage.name + ":out"})
+    fp_tape = cache.fp_tape(coder.name)
+    q_tape = cache.q_tape(coder.name, state)
 
-    @jax.jit
-    def fp_pass(x):
-        tape = {}
-        model.forward(params, x, ctx=NULL_CTX, tape=tape, tape_filter=filt)
-        return tape[stage.name + ":in"], tape[stage.name + ":out"]
-
-    fp_in, fp_out = fp_pass(cali_data)
-
-    # 'asym' pass: trained prefix hard-quantized (+ its act quant)
-    params_q = state.quantized_params(params)
-    ctx_q = state.act_ctx(cfg, skip_act)
-
-    @jax.jit
-    def q_pass(x):
-        tape = {}
-        model.forward(params_q, x, ctx=ctx_q, tape=tape, tape_filter=filt)
-        return tape[stage.name + ":in"]
-
-    q_in = q_pass(cali_data)
-
-    # FP task target: rest of the current coder on the FP output
-    @jax.jit
-    def suffix_fp(h):
-        out = coder.run(params, h, NULL_CTX, start=k + 1) \
-            if coder.use_suffix else h
+    fp_in = fp_tape[stage.name + ":in"]
+    q_in = q_tape[stage.name + ":in"]
+    # unit FP output = next stage's input (act quant is off in the FP pass)
+    if k + 1 < len(coder.stages):
+        fp_out = fp_tape[coder.stages[k + 1].name + ":in"]
+    else:
+        fp_out = fp_tape[coder.stages[-1].name + ":out"]
+    # FP task target: the rest of this coder applied to the FP output ==
+    # the coder's FP final output (g_a additionally STE-rounds the latent,
+    # layer_opt.py:67-70); suffix-less coders target the unit output.
+    if coder.use_suffix:
+        fp_net_out = fp_tape[coder.stages[-1].name + ":out"]
         if coder.name == "g_a":
-            out = quantize_ste(out)
-        return out
-
-    fp_net_out = suffix_fp(fp_out)
-    return fp_in, q_in, fp_out, fp_net_out, suffix_fp
+            fp_net_out = quantize_ste(fp_net_out)
+    else:
+        fp_net_out = fp_out
+    return fp_in, q_in, fp_out, fp_net_out, None
 
 
 def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
                    cali_data, cfg: RDOConfig,
                    skip_act: frozenset = frozenset(),
-                   key: Optional[jax.Array] = None) -> Dict[str, float]:
+                   key: Optional[jax.Array] = None,
+                   cache: Optional[CoderCache] = None) -> Dict[str, float]:
     """Optimize the AdaRound alphas of one unit (stage) and fold the result
     into ``state``. Returns timing/loss diagnostics."""
     stage = coder.stages[k]
@@ -163,18 +224,24 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
 
     t0 = time.time()
     fp_in, q_in, fp_out, fp_net_out, _ = _unit_caches(
-        model, params, state, coder, k, cali_data, cfg, skip_act)
+        model, params, state, coder, k, cali_data, cfg, skip_act, cache)
     cache_t = time.time() - t0
 
     alphas0 = wrap.init_alphas(params, state.qstate, leaf_paths)
     opt = optax.adam(cfg.lr)
     n = fp_in.shape[0]
     loss_start = cfg.warmup * cfg.iters
+    # quant state needed inside the step (everything an ARGUMENT, never a
+    # closure: closed-over arrays become HLO literals and the full model
+    # params + caches would be re-shipped to the compiler for every unit)
+    modes = state.weight_modes(extra={p: "soft" for p in leaf_paths})
 
-    def loss_fn(alphas, inp, tgt_out, tgt_net, t):
-        params_soft = state.quantized_params(
-            params, extra={p: "soft" for p in leaf_paths},
-            soft_alphas=alphas)
+    def loss_fn(alphas, frozen_alphas, params, qstate, inp, tgt_out,
+                tgt_net, t):
+        all_alphas = dict(frozen_alphas)
+        all_alphas.update(alphas)
+        params_soft = wrap.quantize_leaves(params, qstate, modes,
+                                           state.cfg, all_alphas)
         out = stage.fn(params_soft, inp, NULL_CTX)
         rec = Q.lp_loss(out, tgt_out, cfg.p, "channel_sum")
         net = coder.run(params, out, NULL_CTX, start=k + 1) \
@@ -189,7 +256,8 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
         return rec + task + reg, (rec, task, reg)
 
     @jax.jit
-    def run_scan(alphas, key):
+    def run_scan(alphas, frozen_alphas, key, params, qstate, fp_in, q_in,
+                 fp_out, fp_net_out):
         opt_state = opt.init(alphas)
 
         def step(carry, t):
@@ -204,7 +272,8 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
             else:
                 inp = q_b
             (l, aux), g = jax.value_and_grad(loss_fn, has_aux=True)(
-                alphas, inp, fp_out[idx], fp_net_out[idx], t)
+                alphas, frozen_alphas, params, qstate, inp, fp_out[idx],
+                fp_net_out[idx], t)
             updates, opt_state = opt.update(g, opt_state)
             alphas = optax.apply_updates(alphas, updates)
             return (alphas, opt_state, key), jnp.stack(
@@ -215,7 +284,9 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
         return alphas, losses
 
     t0 = time.time()
-    alphas, losses = run_scan(alphas0, key)
+    alphas, losses = run_scan(alphas0, dict(state.alphas), key, params,
+                              dict(state.qstate), fp_in, q_in, fp_out,
+                              fp_net_out)
     losses.block_until_ready()
     opt_t = time.time() - t0
 
@@ -247,12 +318,13 @@ def calibrate_model(model, params, cali_data, wcfg: wrap.WeightQuantConfig,
     (the reference's `recon_model` walk, main2.py:227-264)."""
     state = init_ptq_state(params, wcfg)
     key = jax.random.PRNGKey(seed)
+    cache = CoderCache(model, params, cali_data, cfg, skip_act)
     for coder_name in model.calibration_order():
         coder = model.coders[coder_name]
         for k in range(len(coder.stages)):
             key, sub = jax.random.split(key)
             calibrate_unit(model, params, state, coder, k, cali_data, cfg,
-                           skip_act, sub)
+                           skip_act, sub, cache)
     return state
 
 
