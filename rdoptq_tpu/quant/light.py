@@ -38,6 +38,10 @@ class LightConfig:
     scale_method: str = "max"
     act_quant: bool = True       # dynamic Q8.8 activations
     bias_bits: int = 16          # layer-wise path stores int16 biases
+    # subtrees to leave FP32: ("g_a", "g_s") reproduces the reference's
+    # QuantCodingModel — only the hyper + entropy-coding path quantized
+    # (quant_int/quant_coding_model.py:23-26, light README.md:91)
+    skip_subtrees: Tuple[str, ...] = ()
 
 
 @dataclasses.dataclass
@@ -60,6 +64,8 @@ def _quantize_all(params, leaves, cfg: LightConfig):
     wcfg = wrap.WeightQuantConfig(n_bits=cfg.n_bits,
                                   channel_wise=cfg.channel_wise,
                                   scale_method=cfg.scale_method)
+    leaves = tuple(l for l in leaves
+                   if not l.path.split("/", 1)[0] in cfg.skip_subtrees)
     qstate = wrap.init_weight_qstate(params, leaves, wcfg)
     int_weights, int_biases, bias_scales = {}, {}, {}
     for leaf in leaves:
