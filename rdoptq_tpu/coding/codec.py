@@ -112,67 +112,78 @@ import functools
 def _codec_fns(model):
     """Jitted helpers — shared (cached) between compress and decompress so
     both sides run the SAME compiled programs: bitwise agreement of the
-    Gaussian parameters is what keeps the conditional bitstream
-    decodable."""
+    Gaussian parameters is what keeps the conditional bitstream decodable.
+    Each coding pass is ONE fused dispatch (cc/sc transform + EP head +
+    scale-table indexing) — per-op dispatch latency would otherwise
+    dominate the codec wall-clock."""
+    from ..models.tinylic import checkerboard_anchor_mask
+
+    table = E.default_scale_table()
+
+    def pass1(params, hyper, support, i):
+        """Anchor pass: -> (cc_params, indexes1, means1)."""
+        cc_params = model.slice_cc(params, support, i)
+        scales1, means1 = model.slice_ep(
+            params, hyper, jnp.zeros_like(cc_params), cc_params, i)
+        return cc_params, E.build_indexes(table, scales1), means1
+
+    def pass2(params, hyper, cc_params, y_anchor, i):
+        """Non-anchor pass: -> (indexes2, means2). ``y_anchor`` holds the
+        reconstructed anchors (zeros elsewhere)."""
+        h, w = y_anchor.shape[1], y_anchor.shape[2]
+        anchor = checkerboard_anchor_mask(h, w)
+        sc_params = model.slice_sc(params, y_anchor * anchor, i)
+        sc_params = sc_params * (1.0 - anchor)
+        scales2, means2 = model.slice_ep(params, hyper, sc_params,
+                                         cc_params, i)
+        return E.build_indexes(table, scales2), means2
+
     return {"h_s": jax.jit(lambda p, z: model.h_s.run(p, z)),
             "g_s": jax.jit(lambda p, y: model.g_s.run(p, y)),
-            "cc": jax.jit(model.slice_cc, static_argnums=2),
-            "ep": jax.jit(model.slice_ep, static_argnums=4),
-            "sc": jax.jit(model.slice_sc, static_argnums=2)}
+            "analysis": jax.jit(lambda p, x: (
+                lambda y: (y, model.h_a.run(p, y)))(model.g_a.run(p, x))),
+            "pass1": jax.jit(pass1, static_argnums=3),
+            "pass2": jax.jit(pass2, static_argnums=4)}
 
 
 def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
     """Two-pass checkerboard compression (reference tinylic.py:236-312):
-    slice-serial, spatially parallel; one host rANS encode at the end."""
-    @jax.jit
-    def analysis(params, x):
-        y = model.g_a.run(params, x)
-        z = model.h_a.run(params, y)
-        return y, z
-
+    slice-serial, spatially parallel; 2 fused device dispatches per slice
+    and one host rANS encode at the end."""
     fns = _codec_fns(model)
-    y, z = analysis(params, jnp.asarray(x))
+    y, z = fns["analysis"](params, jnp.asarray(x))
     z_string = compress_factorized(tables, np.asarray(z))
     # reconstruct z_hat exactly as the decoder will (same host arithmetic,
     # same jitted h_s) so hyper matches bit-for-bit
     z_hat = jnp.asarray(decompress_factorized(
         tables, z_string, (int(z.shape[1]), int(z.shape[2]))))
     hyper = fns["h_s"](params, z_hat)
-    h, w = y.shape[1], y.shape[2]
-    anchor_j = checkerboard_anchor_mask(h, w)
-    anchor = np.asarray(anchor_j)[0, :, :, 0] > 0
-    cc_fn, ep_fn, sc_fn = fns["cc"], fns["ep"], fns["sc"]
+    h, w = int(y.shape[1]), int(y.shape[2])
+    anchor = np.asarray(checkerboard_anchor_mask(h, w))[0, :, :, 0] > 0
     splits = list(np.cumsum(model.slices)[:-1])
-    y_np = np.asarray(y)
-    y_slices = np.split(y_np, splits, axis=-1)
+    y_slices = np.split(np.asarray(y), splits, axis=-1)
 
-    table_j = jnp.asarray(tables.scale_table)
     all_sym, all_idx = [], []
     y_hat_slices = []
     for i, out_ch in enumerate(model.slices):
         support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
-        cc_params = cc_fn(params, support, i)
-        scales1, means1 = ep_fn(params, hyper,
-                                jnp.zeros_like(cc_params), cc_params, i)
-        s1, m1 = np.asarray(scales1)[0], np.asarray(means1)[0]
+        cc_params, idx1_j, means1 = fns["pass1"](params, hyper, support, i)
+        idx1, m1 = np.asarray(idx1_j)[0], np.asarray(means1)[0]
         sym1 = np.round(y_slices[i][0][anchor] - m1[anchor]).astype(np.int32)
-        idx1 = np.asarray(E.build_indexes(table_j, jnp.asarray(s1[anchor])))
         y_anchor = np.zeros((h, w, out_ch), np.float32)
         y_anchor[anchor] = sym1.reshape(-1, out_ch) + m1[anchor]
 
-        y_half = jnp.asarray(y_anchor[None]) * anchor_j
-        sc_params = sc_fn(params, y_half, i) * (1.0 - anchor_j)
-        scales2, means2 = ep_fn(params, hyper, sc_params, cc_params, i)
-        s2, m2 = np.asarray(scales2)[0], np.asarray(means2)[0]
+        idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
+                                      jnp.asarray(y_anchor[None]), i)
+        idx2, m2 = np.asarray(idx2_j)[0], np.asarray(means2)[0]
         sym2 = np.round(y_slices[i][0][~anchor] - m2[~anchor]).astype(
             np.int32)
-        idx2 = np.asarray(E.build_indexes(table_j, jnp.asarray(s2[~anchor])))
         y_full = y_anchor
         y_full[~anchor] = sym2.reshape(-1, out_ch) + m2[~anchor]
         y_hat_slices.append(jnp.asarray(y_full[None]))
 
         all_sym += [sym1.reshape(-1), sym2.reshape(-1)]
-        all_idx += [idx1.reshape(-1), idx2.reshape(-1)]
+        all_idx += [idx1[anchor].reshape(-1), idx2[~anchor].reshape(-1)]
 
     g = tables.gaussian
     y_string = rans.encode_with_indexes(
@@ -195,33 +206,25 @@ def tinylic_decompress(model, params, strings: List[bytes],
     z_hat = jnp.asarray(decompress_factorized(tables, z_string, (zh, zw)))
     hyper = fns["h_s"](params, z_hat)
     h, w = zh * 4, zw * 4
-    anchor_j = checkerboard_anchor_mask(h, w)
-    anchor = np.asarray(anchor_j)[0, :, :, 0] > 0
+    anchor = np.asarray(checkerboard_anchor_mask(h, w))[0, :, :, 0] > 0
     dec = rans.RansDecoderStream(y_string)
     g = tables.gaussian
-    cc_fn, ep_fn, sc_fn = fns["cc"], fns["ep"], fns["sc"]
 
     y_hat_slices = []
     for i, out_ch in enumerate(model.slices):
         support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
-        cc_params = cc_fn(params, support, i)
-        scales1, means1 = ep_fn(params, hyper,
-                                jnp.zeros_like(cc_params), cc_params, i)
-        # pass 1: anchors
-        s1, m1 = np.asarray(scales1)[0], np.asarray(means1)[0]
-        idx1 = np.asarray(E.build_indexes(
-            jnp.asarray(tables.scale_table), jnp.asarray(s1[anchor])))
-        sym1 = dec.decode(idx1.reshape(-1), g.cdf, g.cdf_lengths, g.offsets)
+        cc_params, idx1_j, means1 = fns["pass1"](params, hyper, support, i)
+        idx1, m1 = np.asarray(idx1_j)[0], np.asarray(means1)[0]
+        sym1 = dec.decode(idx1[anchor].reshape(-1), g.cdf, g.cdf_lengths,
+                          g.offsets)
         y_anchor = np.zeros((h, w, out_ch), np.float32)
         y_anchor[anchor] = sym1.reshape(-1, out_ch) + m1[anchor]
-        # pass 2: non-anchors
-        y_half = jnp.asarray(y_anchor[None]) * anchor_j
-        sc_params = sc_fn(params, y_half, i) * (1.0 - anchor_j)
-        scales2, means2 = ep_fn(params, hyper, sc_params, cc_params, i)
-        s2, m2 = np.asarray(scales2)[0], np.asarray(means2)[0]
-        idx2 = np.asarray(E.build_indexes(
-            jnp.asarray(tables.scale_table), jnp.asarray(s2[~anchor])))
-        sym2 = dec.decode(idx2.reshape(-1), g.cdf, g.cdf_lengths, g.offsets)
+
+        idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
+                                      jnp.asarray(y_anchor[None]), i)
+        idx2, m2 = np.asarray(idx2_j)[0], np.asarray(means2)[0]
+        sym2 = dec.decode(idx2[~anchor].reshape(-1), g.cdf, g.cdf_lengths,
+                          g.offsets)
         y_full = y_anchor
         y_full[~anchor] = sym2.reshape(-1, out_ch) + m2[~anchor]
         y_hat_slices.append(jnp.asarray(y_full[None]))
