@@ -58,7 +58,8 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
     log.info("config: %s", cfg)
 
     model = registry.build_model(cfg.arch, cfg.quality, lam=cfg.lmbda)
-    params = registry.load_params(model, cfg.arch, checkpoint_path,
+    params = registry.load_params(model, cfg.arch,
+                                  checkpoint_path or cfg.checkpoint,
                                   seed=cfg.seed)
     pad = pad_multiple_for(cfg.arch)
 
@@ -83,7 +84,14 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
         scale_method=cfg.init, sym=cfg.sym, bit_overrides=overrides)
     skips = policy.output_act_skips(model)
 
-    state = rdo.init_ptq_state(params, wcfg)
+    if cfg.resume and os.path.exists(cfg.resume):
+        # mid-calibration resume (the reference restarts the whole layer
+        # on interruption, SURVEY §5; here finished units are skipped)
+        state = checkpoint.load_ptq_state(cfg.resume)
+        log.info("resumed %d trained units from %s",
+                 len(state.trained_stages), cfg.resume)
+    else:
+        state = rdo.init_ptq_state(params, wcfg)
     if cfg.test_before_calibration:
         # W-quant (nearest, unoptimized) — reference main2.py:211
         params_near = state.quantized_params(
@@ -99,6 +107,7 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
         input_prob=cfg.input_prob, lr=cfg.lr, task_p=cfg.task_loss,
         act_quant=cfg.act_quant, act_bits=cfg.n_bits_a)
 
+    snapshot = os.path.join(out_dir, "ptq_state_partial.npz")
     with Timer() as t:
         key = jax.random.PRNGKey(cfg.seed)
         cache = rdo.CoderCache(model, params, cali, rcfg, skips)
@@ -106,11 +115,14 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
             coder = model.coders[coder_name]
             for k in range(len(coder.stages)):
                 key, sub = jax.random.split(key)
+                if coder.stages[k].name in state.trained_stages:
+                    continue  # resumed
                 info = rdo.calibrate_unit(model, params, state, coder, k,
                                           cali, rcfg, skips, sub, cache)
                 for name, v in info.items():
                     if isinstance(v, float):
                         metrics.update(f"calib/{name}", v)
+            checkpoint.save_ptq_state(snapshot, state)
     log.info("calibration wall-clock: %.1fs", t.seconds)
     results["calibration_seconds"] = t.seconds
 

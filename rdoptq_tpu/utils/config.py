@@ -37,6 +37,8 @@ class RunConfig:
     lmbda: float = 0.0483
     name: str = ""
     save: bool = False
+    resume: str = ""              # partial PTQState snapshot to resume from
+    checkpoint: str = ""          # FP32 model checkpoint (.npz or torch)
     # quantization
     n_bits_w: int = 8
     n_bits_a: int = 8
