@@ -150,10 +150,36 @@ def gdn_init(channels: int) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _dyn_quant_int8(x: jax.Array):
+    """Per-tensor symmetric int8 quantization of activations (dynamic)."""
+    s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
+    xi = jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8)
+    return xi, s
+
+
 def conv2d(p: Params, x: jax.Array, stride: int = 1,
            padding: Optional[int] = None, groups: int = 1) -> jax.Array:
     """2D convolution, NHWC x HWIO. ``padding=None`` -> torch-style
-    'half' padding k//2 (the universal choice in the reference zoo)."""
+    'half' padding k//2 (the universal choice in the reference zoo).
+
+    If the node carries an integer kernel (``w_int8`` + per-output-channel
+    scale ``s_w``), the conv computes int8×int8→int32 on the MXU with
+    dynamically-quantized activations and dequantizes the accumulator —
+    the true-INT8 serving path (int8 convs run at bf16 speed on v5e)."""
+    if "w_int8" in p:
+        k = p["w_int8"].shape[0]
+        pad = k // 2 if padding is None else padding
+        xi, s_x = _dyn_quant_int8(x)
+        acc = jax.lax.conv_general_dilated(
+            xi, p["w_int8"], window_strides=(stride, stride),
+            padding=((pad, pad), (pad, pad)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=groups,
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
+        if "b" in p:
+            out = out + p["b"]
+        return out
     k = p["w"].shape[0]
     pad = k // 2 if padding is None else padding
     out = jax.lax.conv_general_dilated(
@@ -177,6 +203,21 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
     padding torch's output_padding implies (low = k-1-k//2,
     high = low + s-1); a symmetric 'SAME' conv_transpose would shift the
     output by half a pixel."""
+    if "w_int8" in p:
+        k = p["w_int8"].shape[0]
+        pad_lo = k - 1 - k // 2
+        pad_hi = pad_lo + stride - 1
+        xi, s_x = _dyn_quant_int8(x)
+        acc = jax.lax.conv_general_dilated(
+            xi, p["w_int8"], window_strides=(1, 1),
+            padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
+            lhs_dilation=(stride, stride),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
+        if "b" in p:
+            out = out + p["b"]
+        return out
     k = p["w"].shape[0]
     pad_lo = k - 1 - k // 2
     pad_hi = pad_lo + stride - 1
@@ -191,7 +232,15 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
 
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
-    out = jnp.einsum("...i,io->...o", x, p["w"])
+    if "w_int8" in p:
+        xi, s_x = _dyn_quant_int8(x)
+        acc = jax.lax.dot_general(
+            xi, p["w_int8"],
+            dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
+    else:
+        out = jnp.einsum("...i,io->...o", x, p["w"])
     if "b" in p:
         out = out + p["b"]
     return out

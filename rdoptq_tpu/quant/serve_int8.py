@@ -1,0 +1,61 @@
+"""True-INT8 serving path: int8×int8 MXU compute, not dequantize-then-f32.
+
+The reference's INT8 model is *slower* than its FP32 model (0.375 s vs
+0.323 s encode on a 2K image, single_test.ipynb) because it stores uint8
+weights but dequantizes on the fly and convolves in float. On TPU, int8
+convolutions run natively on the MXU at bf16 throughput, so this module
+transforms a parameter pytree into integer-kernel nodes
+(``{"w_int8", "s_w", "b"}``) that `models.layers.conv2d/conv_transpose2d/
+linear` execute as int8→int32 accumulation with per-output-channel
+dequantization of the accumulator and dynamic per-tensor int8 activation
+quantization — W8A8 semantics with integer compute.
+
+Kernels are quantized SYMMETRICALLY (zero-point 0) as the MXU int8 path
+requires; masked context convs, GDN gammas and LayerNorm scales stay FP32
+(negligible FLOPs, quantization there handled by the fake-quant path).
+"""
+
+from __future__ import annotations
+
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..models.base import get_leaf, set_leaf
+from . import wrap
+
+# parameter subtrees that must keep float kernels (masked convs multiply
+# the kernel by a mask before use)
+_FP_SUBTREES = ("context", "sc")
+
+
+def int8_serving_params(params, skip_subtrees: Tuple[str, ...] = ()):
+    """Transform conv/linear leaves into int8-kernel nodes. Returns a new
+    pytree runnable by the unmodified model code."""
+    leaves = wrap.find_quant_leaves(params)
+    out = params
+    skip = _FP_SUBTREES + tuple(skip_subtrees)
+    for leaf in leaves:
+        root = leaf.path.split("/", 1)[0]
+        if root in skip:
+            continue
+        if not leaf.path.endswith("/w"):
+            continue  # gamma (GDN) / scale (LN) stay float
+        w = get_leaf(params, leaf.path)
+        if w.ndim not in (2, 4):
+            continue
+        axis = w.ndim - 1
+        red = tuple(i for i in range(w.ndim) if i != axis)
+        s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=red), 1e-8) / 127.0
+        w_int8 = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+        node_path = leaf.path.rsplit("/", 1)[0]
+        node = dict(get_leaf(params, node_path))
+        del node["w"]
+        node["w_int8"] = w_int8
+        node["s_w"] = s_w
+        out = set_leaf(out, node_path, node)
+    return out
+
+
+__all__ = ["int8_serving_params"]

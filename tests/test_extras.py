@@ -78,3 +78,42 @@ def test_bitstream_file_roundtrip(tmp_path):
     back = bitstream.read_bitstream(path)
     assert back["arch"] == "TinyLIC" and back["size"] == (512, 768)
     assert back["strings"] == strings
+
+
+def test_int8_serving_path_numerics():
+    from rdoptq_tpu.models import layers as L
+    from rdoptq_tpu.quant import serve_int8
+    rng = np.random.default_rng(7)
+    w = jnp.asarray(rng.normal(size=(5, 5, 8, 16)).astype(np.float32) * 0.1)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * 0.01)
+    x = jnp.asarray(rng.normal(size=(1, 16, 16, 8)).astype(np.float32))
+    # manual symmetric quantization
+    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    w_i = jnp.clip(jnp.round(w / s_w), -127, 127).astype(jnp.int8)
+    s_x = jnp.max(jnp.abs(x)) / 127.0
+    x_i = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+    out_int = L.conv2d({"w_int8": w_i, "s_w": s_w, "b": b}, x, stride=2)
+    # reference: conv of the dequantized tensors (int accumulation exact)
+    out_ref = L.conv2d({"w": w_i.astype(jnp.float32) * s_w, "b": b},
+                       x_i.astype(jnp.float32) * s_x, stride=2)
+    assert np.allclose(np.asarray(out_int), np.asarray(out_ref),
+                       atol=1e-4, rtol=1e-4)
+
+
+def test_int8_serving_full_model():
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.quant import serve_int8
+    model = Minnen2018(N=16, M=24)
+    params = model.init(jax.random.PRNGKey(11))
+    p8 = serve_int8.int8_serving_params(params)
+    from rdoptq_tpu.models.base import get_leaf
+    assert get_leaf(p8, "g_a/conv0/w_int8").dtype == jnp.int8
+    # masked context conv stays float
+    assert "w" in p8["context"] and "w_int8" not in p8["context"]
+    x = jax.random.uniform(jax.random.PRNGKey(12), (1, 64, 64, 3))
+    out8 = model.forward(p8, x)
+    out32 = model.forward(params, x)
+    assert np.isfinite(np.asarray(out8["x_hat"])).all()
+    # W8A8-class error: outputs stay close to FP32 on a random model
+    d = float(jnp.mean(jnp.abs(out8["x_hat"] - out32["x_hat"])))
+    assert d < 0.1
