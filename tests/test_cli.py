@@ -81,3 +81,21 @@ def test_sweep_driver(tmp_path, monkeypatch):
     assert os.path.exists(tmp_path / "sweep.json")
     data = json.load(open(tmp_path / "sweep.json"))
     assert len(data["per_quality"]) == 4
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_evaluate_driver_with_dumps(tmp_path, monkeypatch):
+    from rdoptq_tpu.cli import evaluate as ecli
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: Minnen2018(N=8, M=8))
+    monkeypatch.setattr(datasets, "kodak",
+                        lambda d=None, limit=None:
+                        datasets.load_dir(datasets.DEFAULT_KODAK, 2))
+    out = ecli.run(arch="Minnen2018", dump_dir=str(tmp_path / "rec"),
+                   freq=1)
+    assert np.isfinite(out["psnr"]) and out["model_size_mb"] > 0
+    dumps = os.listdir(tmp_path / "rec")
+    assert len(dumps) == 2
