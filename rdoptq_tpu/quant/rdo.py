@@ -59,6 +59,9 @@ class RDOConfig:
     act_quant: bool = False
     act_bits: int = 8
     act_kind: str = "dynamic"
+    # rematerialize the suffix in the backward pass (memory <-> FLOPs
+    # trade for deep suffixes, e.g. Lu2022 RSTB stacks on large patches)
+    remat: bool = False
 
 
 @dataclasses.dataclass
@@ -244,8 +247,10 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
                                            state.cfg, all_alphas)
         out = stage.fn(params_soft, inp, NULL_CTX)
         rec = Q.lp_loss(out, tgt_out, cfg.p, "channel_sum")
-        net = coder.run(params, out, NULL_CTX, start=k + 1) \
-            if coder.use_suffix else out
+        suffix = lambda p, h: coder.run(p, h, NULL_CTX, start=k + 1)
+        if cfg.remat:
+            suffix = jax.checkpoint(suffix)
+        net = suffix(params, out) if coder.use_suffix else out
         if coder.name == "g_a":
             net = quantize_ste(net)
         task = Q.lp_loss(net, tgt_net, cfg.task_p, "channel_sum")
