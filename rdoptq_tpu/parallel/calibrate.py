@@ -25,22 +25,26 @@ from ..quant import rdo, wrap
 from . import mesh as mesh_lib
 
 
-def sharded_unit_step(model, params, state: rdo.PTQState, coder: Coder,
+def sharded_unit_step(model, state: rdo.PTQState, coder: Coder,
                       k: int, cfg: rdo.RDOConfig, mesh,
-                      caches: Tuple, alphas: Dict, opt_state, key,
-                      t: jax.Array):
-    """One sharded AdaRound optimization step. ``caches`` =
-    (fp_in, q_in, fp_out, fp_net_out), each sharded on the batch axis."""
+                      params, qstate, frozen_alphas, caches: Tuple,
+                      alphas: Dict, opt_state, key, t: jax.Array):
+    """One sharded AdaRound optimization step. All array state (params,
+    quantizer scales, caches) enters as traced arguments — never closures,
+    which would become HLO literals shipped to the compiler. Caches =
+    (fp_in, q_in, fp_out, fp_net_out), sharded on the batch axis."""
     stage = coder.stages[k]
     leaf_paths = tuple(p for p in stage.leaf_paths if p in state.qstate)
     fp_in, q_in, fp_out, fp_net_out = caches
     opt = optax.adam(cfg.lr)
     loss_start = cfg.warmup * cfg.iters
+    modes = state.weight_modes(extra={p: "soft" for p in leaf_paths})
 
     def loss_fn(alphas, inp, tgt_out, tgt_net):
-        params_soft = state.quantized_params(
-            params, extra={p: "soft" for p in leaf_paths},
-            soft_alphas=alphas)
+        all_alphas = dict(frozen_alphas)
+        all_alphas.update(alphas)
+        params_soft = wrap.quantize_leaves(params, qstate, modes,
+                                           state.cfg, all_alphas)
         out = stage.fn(params_soft, inp, NULL_CTX)
         rec = Q.lp_loss(out, tgt_out, cfg.p, "channel_sum")
         net = coder.run(params, out, NULL_CTX, start=k + 1) \
@@ -86,9 +90,15 @@ def make_sharded_unit_trainer(model, params, state: rdo.PTQState,
         caches = tuple(jax.device_put(c, batch_sh) for c in caches)
         return alphas, caches
 
-    step = functools.partial(sharded_unit_step, model, params, state,
-                             coder, k, cfg, mesh)
-    return jax.jit(step), place
+    step = functools.partial(sharded_unit_step, model, state, coder, k,
+                             cfg, mesh)
+    jitted = jax.jit(step)
+
+    def call(caches, alphas, opt_state, key, t):
+        return jitted(params, dict(state.qstate), dict(state.alphas),
+                      caches, alphas, opt_state, key, t)
+
+    return call, place
 
 
 __all__ = ["sharded_unit_step", "make_sharded_unit_trainer"]
