@@ -81,18 +81,27 @@ def find_quant_leaves(params, prefix: str = "") -> Tuple[LeafInfo, ...]:
 
 def init_weight_qstate(params, leaves: Sequence[LeafInfo],
                        cfg: WeightQuantConfig) -> Dict[str, Q.QParams]:
-    """Calibrate scale/zero-point for every leaf (vmapped channel-wise)."""
-    qstate = {}
-    for leaf in leaves:
-        w = get_leaf(params, leaf.path)
-        bits = cfg.bits_for(leaf.path)
-        if cfg.channel_wise and leaf.channel_axis is not None:
-            qp = Q.init_scale_channelwise(w, bits, cfg.scale_method,
-                                          cfg.sym, leaf.channel_axis)
-        else:
-            qp = Q.init_scale(w.ravel(), bits, cfg.scale_method, cfg.sym)
-        qstate[leaf.path] = qp
-    return qstate
+    """Calibrate scale/zero-point for every leaf (vmapped channel-wise).
+
+    The whole init is ONE jitted program — large models have hundreds of
+    leaves and per-leaf eager dispatch would dominate startup."""
+    import jax
+
+    def compute(params):
+        qstate = {}
+        for leaf in leaves:
+            w = get_leaf(params, leaf.path)
+            bits = cfg.bits_for(leaf.path)
+            if cfg.channel_wise and leaf.channel_axis is not None:
+                qp = Q.init_scale_channelwise(w, bits, cfg.scale_method,
+                                              cfg.sym, leaf.channel_axis)
+            else:
+                qp = Q.init_scale(w.ravel(), bits, cfg.scale_method,
+                                  cfg.sym)
+            qstate[leaf.path] = qp
+        return qstate
+
+    return jax.jit(compute)(params)
 
 
 def init_alphas(params, qstate: Mapping[str, Q.QParams],
