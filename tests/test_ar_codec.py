@@ -98,3 +98,19 @@ def test_ar_roundtrip(tiny_ar):
     x_ref = np.clip(np.asarray(
         ar._synthesis_fn(model)(params, buf[None])), 0, 1)
     assert np.allclose(x_hat, x_ref, atol=1e-5)
+
+
+def test_ar_roundtrip_lu2022_tiny():
+    """The wavefront codec is model-generic: Lu2022's transformer coders
+    drive the same context/EP machinery."""
+    from rdoptq_tpu.models.lu2022 import Lu2022
+    model = Lu2022(embed_dim=16, latent_dim=16, window_size=4)
+    params = model.init(jax.random.PRNGKey(5))
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+    x = jax.random.uniform(jax.random.PRNGKey(6), (1, 128, 128, 3))
+    out = ar.ar_compress(model, params, x, tables)
+    x_hat = ar.ar_decompress(model, params, out["strings"], out["shape"],
+                             out["y_shape"], tables)
+    assert x_hat.shape == (1, 128, 128, 3)
+    assert np.isfinite(x_hat).all()
