@@ -106,3 +106,37 @@ def test_swin_block_shift_equivariance_smoke():
     assert y0.shape == x.shape and y1.shape == x.shape
     assert np.isfinite(np.asarray(y0)).all()
     assert not np.allclose(np.asarray(y0), np.asarray(y1))
+
+
+def test_window_attention_matches_torch_reference():
+    """Cross-check the attention math (qkv split order, scaling,
+    relative-position-bias gather) against an independent torch
+    implementation of standard Swin window attention."""
+    torch = pytest.importorskip("torch")
+    dim, heads, ws = 16, 4, 4
+    n = ws * ws
+    p = swin.window_attention_init(jax.random.PRNGKey(0), dim, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(1), (1, 2, n, dim))
+
+    out_j = np.asarray(swin.window_attention(p, x, heads, ws, mask=None))
+
+    # torch reference (timm/Swin semantics)
+    qkv_w = torch.tensor(np.asarray(p["qkv"]["w"]).T)   # (3C, C)
+    qkv_b = torch.tensor(np.asarray(p["qkv"]["b"]))
+    proj_w = torch.tensor(np.asarray(p["proj"]["w"]).T)
+    proj_b = torch.tensor(np.asarray(p["proj"]["b"]))
+    table = torch.tensor(np.asarray(p["rpb_table"]))
+    idx = torch.tensor(swin.relative_position_index(ws).reshape(-1),
+                       dtype=torch.long)
+    xt = torch.tensor(np.asarray(x).reshape(2, n, dim))  # windows as batch
+    hd = dim // heads
+    qkv = (xt @ qkv_w.T + qkv_b).reshape(2, n, 3, heads, hd)
+    qkv = qkv.permute(2, 0, 3, 1, 4)
+    q, k, v = qkv[0], qkv[1], qkv[2]
+    attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+    rpb = table[idx].reshape(n, n, heads).permute(2, 0, 1)
+    attn = torch.softmax(attn + rpb.unsqueeze(0), dim=-1)
+    out_t = (attn @ v).transpose(1, 2).reshape(2, n, dim)
+    out_t = (out_t @ proj_w.T + proj_b).numpy()
+
+    assert np.allclose(out_j[0], out_t, atol=2e-5)
