@@ -38,15 +38,21 @@ def pad_multiple_for(arch: str) -> int:
 
 
 def evaluate_state(model, params, state, images, act_quant: bool,
-                   act_bits: int, skips: frozenset, pad: int):
+                   act_bits: int, skips: frozenset, pad: int,
+                   eval_fn=None):
     """Evaluate the current quantized model (trained leaves hard-rounded,
-    untrained nearest-rounded — the reference's eval quant state)."""
+    untrained nearest-rounded — the reference's eval quant state). With a
+    gated ``eval_fn``, every quant state reuses one compiled program."""
     params_q = state.quantized_params(params, untrained="nearest")
+    stages = state.trained_stages if act_quant else ()
+    if eval_fn is not None:
+        gates = harness.stage_gates(model, stages)
+        return harness.evaluate(model, params_q, images, pad_multiple=pad,
+                                eval_fn=eval_fn, gates=gates)
     ctx = NULL_CTX
     if act_quant:
-        ctx = QuantCtx(act_paths=frozenset(state.trained_stages),
-                       act_kind="dynamic", act_bits=act_bits,
-                       skip_paths=skips)
+        ctx = QuantCtx(act_paths=frozenset(stages), act_kind="dynamic",
+                       act_bits=act_bits, skip_paths=skips)
     return harness.evaluate(model, params_q, images, ctx=ctx,
                             pad_multiple=pad)
 
@@ -69,13 +75,6 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
     cali = datasets.random_crops(calib_src, cfg.num_samples,
                                  cfg.patch_size, cfg.seed)
 
-    results = {}
-    if cfg.test_before_calibration:
-        with Timer() as t:
-            res = harness.evaluate(model, params, images, pad_multiple=pad)
-        log.info("FP32 anchor:      %s", res.row())
-        results["fp32"] = res
-
     leaves = wrap.find_quant_leaves(params)
     overrides = () if cfg.disable_8bit_head_stem \
         else policy.first_last_8bit(leaves)
@@ -83,6 +82,18 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
         n_bits=cfg.n_bits_w, channel_wise=cfg.channel_wise,
         scale_method=cfg.init, sym=cfg.sym, bit_overrides=overrides)
     skips = policy.output_act_skips(model)
+    # one gated eval program shared by every quant-state evaluation
+    eval_fn = harness.make_gated_eval_fn(model, skips, "dynamic",
+                                         cfg.n_bits_a)
+    off_gates = harness.stage_gates(model, ())
+
+    results = {}
+    if cfg.test_before_calibration:
+        with Timer() as t:
+            res = harness.evaluate(model, params, images, pad_multiple=pad,
+                                   eval_fn=eval_fn, gates=off_gates)
+        log.info("FP32 anchor:      %s", res.row())
+        results["fp32"] = res
 
     if cfg.resume and os.path.exists(cfg.resume):
         # mid-calibration resume (the reference restarts the whole layer
@@ -97,7 +108,8 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
         params_near = state.quantized_params(
             params, extra={}, untrained="nearest")
         res = harness.evaluate(model, params_near, images,
-                               pad_multiple=pad)
+                               pad_multiple=pad, eval_fn=eval_fn,
+                               gates=off_gates)
         log.info("W%d nearest:       %s", cfg.n_bits_w, res.row())
         results["w_nearest"] = res
 
@@ -127,13 +139,13 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
     results["calibration_seconds"] = t.seconds
 
     res = evaluate_state(model, params, state, images, False,
-                         cfg.n_bits_a, skips, pad)
+                         cfg.n_bits_a, skips, pad, eval_fn)
     log.info("W%d optimized:     %s", cfg.n_bits_w, res.row())
     results["w_opt"] = res
 
     if cfg.act_quant:
         res = evaluate_state(model, params, state, images, True,
-                             cfg.n_bits_a, skips, pad)
+                             cfg.n_bits_a, skips, pad, eval_fn)
         log.info("W%dA%d optimized:  %s", cfg.n_bits_w, cfg.n_bits_a,
                  res.row())
         results["wa_opt"] = res

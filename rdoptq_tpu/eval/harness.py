@@ -59,18 +59,61 @@ def make_eval_fn(model, ctx: QuantCtx = NULL_CTX):
     return run
 
 
+def make_gated_eval_fn(model, skip_paths: frozenset = frozenset(),
+                       act_kind: str = "dynamic", act_bits: int = 8):
+    """Jitted eval whose activation-quant configuration is a TRACED gate
+    dict — one compiled program serves FP32, W-only, and every W+A trained
+    set (the CLI evaluates 4-5 quant states per run; static ctx would
+    recompile the full model each time)."""
+    import functools
+
+    @functools.partial(jax.jit, static_argnums=(3, 4))
+    def run(params, x_pad, gates, orig_hw, meta):
+        ctx = QuantCtx(act_kind=act_kind, act_bits=act_bits,
+                       skip_paths=skip_paths, gates=dict(gates))
+        out = model.forward(params, x_pad, ctx=ctx)
+        h, w = orig_hw
+        top, left = meta
+        num_pixels = x_pad.shape[0] * h * w
+        bpp = M.bpp_from_likelihoods(out["likelihoods"], num_pixels)
+        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
+        x_hat = x_hat[:, top:top + h, left:left + w, :]
+        x_ref = x_pad[:, top:top + h, left:left + w, :]
+        return M.psnr(x_ref, x_hat), M.ms_ssim(x_ref, x_hat), bpp
+
+    return run
+
+
+def stage_gates(model, enabled_stages) -> dict:
+    """Boolean gate per stage name (True => act-quant that stage)."""
+    gates = {}
+    on = frozenset(enabled_stages)
+    for coder in model.coders.values():
+        for st in coder.stages:
+            gates[st.name] = jnp.asarray(st.name in on)
+    return gates
+
+
 def evaluate(model, params, images: Sequence[np.ndarray],
              ctx: QuantCtx = NULL_CTX, pad_multiple: int = 64,
-             eval_fn=None) -> EvalResult:
+             eval_fn=None, gates: Optional[dict] = None) -> EvalResult:
     """Evaluate a list of (1, H, W, 3) images; returns dataset means
-    (the reference averages per-image metrics, test_datasets.py:100-116)."""
-    run = eval_fn if eval_fn is not None else make_eval_fn(model, ctx)
+    (the reference averages per-image metrics, test_datasets.py:100-116).
+    Pass ``eval_fn`` from :func:`make_gated_eval_fn` together with
+    ``gates`` to share one compiled program across quant states."""
+    if eval_fn is None:
+        run = make_eval_fn(model, ctx)
+    else:
+        run = eval_fn
     per_image = []
     t0 = time.time()
     for img in images:
         x = jnp.asarray(img)
         x_pad, (h, w, top, left) = M.pad_to_multiple(x, pad_multiple)
-        p, s, b = run(params, x_pad, (h, w), (top, left))
+        if gates is not None:
+            p, s, b = run(params, x_pad, gates, (h, w), (top, left))
+        else:
+            p, s, b = run(params, x_pad, (h, w), (top, left))
         per_image.append({"psnr": float(p), "ms_ssim": float(s),
                           "bpp": float(b)})
     secs = time.time() - t0
