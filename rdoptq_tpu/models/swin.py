@@ -35,6 +35,13 @@ import numpy as np
 from . import layers as L
 
 
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default; the tanh
+    approximation would break checkpoint parity."""
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
+
 # ---------------------------------------------------------------------------
 # Static geometry helpers (numpy, cached per resolution)
 # ---------------------------------------------------------------------------
@@ -174,7 +181,7 @@ def swin_block(p: Dict, x: jax.Array, num_heads: int, ws: int, shift: int,
     x = shortcut + x
     # MLP
     y = L.layer_norm(p["norm2"], x)
-    y = L.linear(p["mlp"]["fc2"], jax.nn.gelu(L.linear(p["mlp"]["fc1"], y)))
+    y = L.linear(p["mlp"]["fc2"], _gelu(L.linear(p["mlp"]["fc1"], y)))
     return x + y
 
 

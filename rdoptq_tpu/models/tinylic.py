@@ -27,6 +27,13 @@ from ..ops import entropy as E
 from . import layers as L
 from .base import Coder, Stage, Tape
 
+
+def _gelu(x):
+    """Exact (erf) GELU — torch nn.GELU default; the tanh
+    approximation would break checkpoint parity."""
+    import jax
+    return jax.nn.gelu(x, approximate=False)
+
 SLICES_80M = (8, 8, 16, 32, 64)
 
 
@@ -97,7 +104,7 @@ def metanext_block(p: Dict, x: jax.Array, ctx: L.QuantCtx = L.NULL_CTX,
     h = inception_dw(p["mixer"], x)
     h = L.layer_norm(p["norm"], h)
     h = L.conv2d(p["mlp"]["fc1"], h)
-    h = jax.nn.gelu(h)
+    h = _gelu(h)
     h = L.conv2d(p["mlp"]["fc2"], h)
     return shortcut + h * p["ls"]
 
@@ -354,16 +361,16 @@ class TinyLIC:
         """Channel-conditional transform for slice i (cc_transforms,
         reference tinylic.py:110-118)."""
         cp = params["cc"][f"slice{i}"]
-        h1 = jax.nn.gelu(L.conv2d(cp["conv0"], support))
-        h1 = jax.nn.gelu(L.conv2d(cp["conv1"], h1))
+        h1 = _gelu(L.conv2d(cp["conv0"], support))
+        h1 = _gelu(L.conv2d(cp["conv1"], h1))
         return L.conv2d(cp["conv2"], h1)
 
     def slice_ep(self, params, hyper, sc_params, cc_params, i: int):
         """Entropy-parameter head for slice i -> (scales, means)."""
         epp = params["ep"][f"slice{i}"]
         feats = jnp.concatenate([hyper, sc_params, cc_params], axis=-1)
-        e = jax.nn.gelu(L.conv2d(epp["conv0"], feats))
-        e = jax.nn.gelu(L.conv2d(epp["conv1"], e))
+        e = _gelu(L.conv2d(epp["conv0"], feats))
+        e = _gelu(L.conv2d(epp["conv1"], e))
         gp = L.conv2d(epp["conv2"], e)
         scales, means = jnp.split(gp, 2, axis=-1)
         return scales, means

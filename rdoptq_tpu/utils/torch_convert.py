@@ -194,6 +194,125 @@ def convert_lu2022(sd: Dict) -> Dict:
     return p
 
 
+def convert_cheng2020(sd: Dict) -> Dict:
+    """CompressAI `cheng2020_anchor` state dict -> Cheng2020 pytree."""
+    import jax.numpy as jnp
+
+    def rb(t):
+        out = {"conv1": _convert_leaf(sd, f"{t}.conv1", "conv"),
+               "conv2": _convert_leaf(sd, f"{t}.conv2", "conv")}
+        if f"{t}.skip.weight" in sd:
+            out["skip"] = _convert_leaf(sd, f"{t}.skip", "conv")
+        return out
+
+    def rbws(t):
+        out = rb(t)
+        out["gdn"] = gdn_params(sd[f"{t}.gdn.beta"], sd[f"{t}.gdn.gamma"])
+        return out
+
+    def rbu(t):
+        return {"subpel": _convert_leaf(sd, f"{t}.subpel_conv.0", "conv"),
+                "conv": _convert_leaf(sd, f"{t}.conv", "conv"),
+                "gdn": gdn_params(sd[f"{t}.igdn.beta"],
+                                  sd[f"{t}.igdn.gamma"]),
+                "upsample": _convert_leaf(sd, f"{t}.upsample.0", "conv")}
+
+    p: Dict = {
+        "g_a": {"rbws0": rbws("g_a.0"), "rb1": rb("g_a.1"),
+                "rbws2": rbws("g_a.2"), "rb3": rb("g_a.3"),
+                "rbws4": rbws("g_a.4"), "rb5": rb("g_a.5"),
+                "conv6": _convert_leaf(sd, "g_a.6", "conv")},
+        "g_s": {"rb0": rb("g_s.0"), "rbu1": rbu("g_s.1"),
+                "rb2": rb("g_s.2"), "rbu3": rbu("g_s.3"),
+                "rb4": rb("g_s.4"), "rbu5": rbu("g_s.5"),
+                "rb6": rb("g_s.6"),
+                "subpel7": _convert_leaf(sd, "g_s.7.0", "conv")},
+        "h_a": {f"conv{i}": _convert_leaf(sd, f"h_a.{2 * i}", "conv")
+                for i in range(5)},
+        "h_s": {"conv0": _convert_leaf(sd, "h_s.0", "conv"),
+                "subpel1": _convert_leaf(sd, "h_s.2.0", "conv"),
+                "conv2": _convert_leaf(sd, "h_s.4", "conv"),
+                "subpel3": _convert_leaf(sd, "h_s.6.0", "conv"),
+                "conv4": _convert_leaf(sd, "h_s.8", "conv")},
+        "context": _convert_leaf(sd, "context_prediction", "conv"),
+        "ep": {f"conv{i}": _convert_leaf(sd,
+                                         f"entropy_parameters.{2 * i}",
+                                         "conv") for i in range(3)},
+        "eb": entropy_bottleneck_params(sd, "entropy_bottleneck."),
+    }
+    return p
+
+
+def convert_tinylic(sd: Dict) -> Dict:
+    """Reference TinyLIC state dict (light-uniform-PTQ/models/tinylic.py
+    module names) -> TinyLIC pytree."""
+    import jax.numpy as jnp
+
+    def mns(t):
+        out: Dict = {}
+        i = 0
+        while f"{t}.blocks.{i}.norm.weight" in sd:
+            b = f"{t}.blocks.{i}"
+            out[f"block{i}"] = {
+                "mixer": {
+                    "dw_hw": _convert_leaf(sd, f"{b}.token_mixer.dwconv_hw",
+                                           "conv"),
+                    "dw_w": _convert_leaf(sd, f"{b}.token_mixer.dwconv_w",
+                                          "conv"),
+                    "dw_h": _convert_leaf(sd, f"{b}.token_mixer.dwconv_h",
+                                          "conv"),
+                },
+                "norm": _convert_leaf(sd, f"{b}.norm", "ln"),
+                "mlp": {"fc1": _convert_leaf(sd, f"{b}.mlp.fc1", "conv"),
+                        "fc2": _convert_leaf(sd, f"{b}.mlp.fc2", "conv")},
+                "ls": jnp.asarray(_np(sd[f"{b}.gamma"])),
+            }
+            i += 1
+        return out
+
+    def scaling(t):
+        return {"fc1": _convert_leaf(sd, f"{t}.fc1", "linear"),
+                "fc2": _convert_leaf(sd, f"{t}.fc2", "linear")}
+
+    p: Dict = {"g_a": {}, "h_a": {}, "h_s": {}, "g_s": {},
+               "cc": {}, "sc": {}, "ep": {}}
+    for i, conv_i in enumerate((0, 2, 4, 6)):
+        p["g_a"][f"conv{conv_i}"] = _convert_leaf(sd, f"g_a{conv_i}",
+                                                  "conv")
+        p["g_a"][f"mns{conv_i + 1}"] = mns(f"g_a{conv_i + 1}")
+        p["g_a"][f"scale{i}"] = scaling(f"g_a_scale{i}")
+    p["h_a"]["conv0"] = _convert_leaf(sd, "h_a0", "conv")
+    p["h_a"]["mns1"] = mns("h_a1")
+    p["h_a"]["conv2"] = _convert_leaf(sd, "h_a2", "conv")
+    p["h_a"]["mns3"] = mns("h_a3")
+    p["h_s"]["mns0"] = mns("h_s0")
+    p["h_s"]["deconv1"] = _convert_leaf(sd, "h_s1", "tconv")
+    p["h_s"]["mns2"] = mns("h_s2")
+    p["h_s"]["deconv3"] = _convert_leaf(sd, "h_s3", "tconv")
+    for i, mns_i in enumerate((0, 2, 4, 6)):
+        p["g_s"][f"scale{i}"] = scaling(f"g_s_scale{i}")
+        p["g_s"][f"mr{i}"] = scaling(f"g_s_mr{i}")
+        p["g_s"][f"mns{mns_i}"] = mns(f"g_s{mns_i}")
+        p["g_s"][f"deconv{mns_i + 1}"] = _convert_leaf(sd,
+                                                       f"g_s{mns_i + 1}",
+                                                       "tconv")
+    i = 0
+    while f"cc_transforms.{i}.0.weight" in sd:
+        p["cc"][f"slice{i}"] = {
+            "conv0": _convert_leaf(sd, f"cc_transforms.{i}.0", "conv"),
+            "conv1": _convert_leaf(sd, f"cc_transforms.{i}.2", "conv"),
+            "conv2": _convert_leaf(sd, f"cc_transforms.{i}.4", "conv")}
+        p["sc"][f"slice{i}"] = _convert_leaf(sd, f"sc_transforms.{i}",
+                                             "conv")
+        p["ep"][f"slice{i}"] = {
+            "conv0": _convert_leaf(sd, f"entropy_parameters.{i}.0", "conv"),
+            "conv1": _convert_leaf(sd, f"entropy_parameters.{i}.2", "conv"),
+            "conv2": _convert_leaf(sd, f"entropy_parameters.{i}.4", "conv")}
+        i += 1
+    p["eb"] = entropy_bottleneck_params(sd, "entropy_bottleneck.")
+    return p
+
+
 def strip_module_prefix(sd: Dict) -> Dict:
     """Drop DataParallel 'module.' prefixes (reference
     ckpts/pretrained.py:39-41)."""
@@ -204,6 +323,8 @@ def strip_module_prefix(sd: Dict) -> Dict:
 CONVERTERS = {
     "Minnen2018": convert_minnen2018,
     "Lu2022": convert_lu2022,
+    "Cheng2020": convert_cheng2020,
+    "TinyLIC": convert_tinylic,
 }
 
 
