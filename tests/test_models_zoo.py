@@ -140,3 +140,59 @@ def test_window_attention_matches_torch_reference():
     out_t = (out_t @ proj_w.T + proj_b).numpy()
 
     assert np.allclose(out_j[0], out_t, atol=2e-5)
+
+
+def test_swin_block_shifted_matches_torch_reference():
+    """Full shifted-window block vs an independent torch implementation
+    (roll + window partition + masked attention + reverse + MLP)."""
+    torch = pytest.importorskip("torch")
+    import torch.nn.functional as tF
+    dim, heads, ws, shift = 8, 2, 4, 2
+    H = W = 8
+    p = swin.swin_block_init(jax.random.PRNGKey(3), dim, heads, ws)
+    x = jax.random.normal(jax.random.PRNGKey(4), (1, H, W, dim))
+    out_j = np.asarray(swin.swin_block(p, x, heads, ws, shift))
+
+    def t(a):
+        return torch.tensor(np.asarray(a))
+
+    xt = t(x)[0]  # (H, W, C)
+    n1s, n1b = t(p["norm1"]["scale"]), t(p["norm1"]["bias"])
+    n2s, n2b = t(p["norm2"]["scale"]), t(p["norm2"]["bias"])
+    qkv_w, qkv_b = t(p["attn"]["qkv"]["w"]), t(p["attn"]["qkv"]["b"])
+    proj_w, proj_b = t(p["attn"]["proj"]["w"]), t(p["attn"]["proj"]["b"])
+    table = t(p["attn"]["rpb_table"])
+    idx = torch.tensor(swin.relative_position_index(ws).reshape(-1),
+                       dtype=torch.long)
+    fc1_w, fc1_b = t(p["mlp"]["fc1"]["w"]), t(p["mlp"]["fc1"]["b"])
+    fc2_w, fc2_b = t(p["mlp"]["fc2"]["w"]), t(p["mlp"]["fc2"]["b"])
+    mask = torch.tensor(swin.shift_attn_mask(H, W, ws, shift))
+
+    with torch.no_grad():
+        shortcut = xt
+        h = tF.layer_norm(xt, (dim,), n1s, n1b)
+        h = torch.roll(h, (-shift, -shift), dims=(0, 1))
+        n = ws * ws
+        nw = (H // ws) * (W // ws)
+        win = h.reshape(H // ws, ws, W // ws, ws, dim)
+        win = win.permute(0, 2, 1, 3, 4).reshape(nw, n, dim)
+        hd = dim // heads
+        qkv = (win @ qkv_w + qkv_b).reshape(nw, n, 3, heads, hd)
+        qkv = qkv.permute(2, 0, 3, 1, 4)
+        q, k, v = qkv[0], qkv[1], qkv[2]
+        attn = (q * hd ** -0.5) @ k.transpose(-2, -1)
+        rpb = table[idx].reshape(n, n, heads).permute(2, 0, 1)
+        attn = attn + rpb.unsqueeze(0) + mask.unsqueeze(1)
+        attn = torch.softmax(attn, dim=-1)
+        o = (attn @ v).transpose(1, 2).reshape(nw, n, dim)
+        o = o @ proj_w + proj_b
+        o = o.reshape(H // ws, W // ws, ws, ws, dim)
+        o = o.permute(0, 2, 1, 3, 4).reshape(H, W, dim)
+        o = torch.roll(o, (shift, shift), dims=(0, 1))
+        xt2 = shortcut + o
+        m = tF.layer_norm(xt2, (dim,), n2s, n2b)
+        m = tF.gelu(m @ fc1_w + fc1_b) @ fc2_w + fc2_b
+        out_t = (xt2 + m).numpy()
+
+    assert np.allclose(out_j[0], out_t, atol=3e-5), \
+        np.abs(out_j[0] - out_t).max()
