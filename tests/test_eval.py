@@ -66,3 +66,23 @@ def test_evaluate_tiny_model_on_synthetic():
     assert len(res.per_image) == 2
     assert np.isfinite(res.psnr) and np.isfinite(res.bpp)
     assert res.bpp > 0
+
+
+def test_gated_eval_shares_one_program():
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    fn = harness.make_gated_eval_fn(model)
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    all_stages = [st.name for c in model.coders.values()
+                  for st in c.stages]
+    g_off = harness.stage_gates(model, ())
+    g_on = harness.stage_gates(model, all_stages)
+    off = fn(params, x, g_off, (64, 64), (0, 0))
+    on = fn(params, x, g_on, (64, 64), (0, 0))
+    # same compiled program, different gate values, different outputs
+    assert float(off[2]) != float(on[2])
+    # off-gates match the ungated harness exactly
+    ref = harness.make_eval_fn(model, harness.NULL_CTX)(
+        params, x, (64, 64), (0, 0))
+    assert np.isclose(float(off[0]), float(ref[0]), atol=1e-5)
