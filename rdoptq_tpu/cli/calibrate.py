@@ -12,11 +12,8 @@ main2.py:143-318). Run:
 
 from __future__ import annotations
 
-import dataclasses
 import logging
 import os
-import sys
-import time
 
 import jax
 import numpy as np

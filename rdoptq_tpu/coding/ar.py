@@ -22,7 +22,7 @@ Gaussian parameters agree bitwise and the conditional bitstream decodes.
 from __future__ import annotations
 
 import functools
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -18,7 +18,6 @@ File layout (little endian):
 from __future__ import annotations
 
 import struct
-import time
 from typing import Dict, List, Tuple
 
 MAGIC = b"RDOQ"

@@ -19,13 +19,12 @@ TPU-native structure:
 from __future__ import annotations
 
 import dataclasses
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..models.layers import NULL_CTX
 from ..models.tinylic import checkerboard_anchor_mask
 from ..ops import entropy as E
 from . import cdf as cdf_mod

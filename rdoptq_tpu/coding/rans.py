@@ -18,7 +18,7 @@ import ctypes
 import os
 import subprocess
 import threading
-from typing import Optional, Sequence, Tuple
+from typing import Optional, Sequence
 
 import numpy as np
 

@@ -10,8 +10,7 @@ from torch state dicts (utils.torch_convert).
 from __future__ import annotations
 
 import logging
-import os
-from typing import Optional, Tuple
+from typing import Optional
 
 import jax
 

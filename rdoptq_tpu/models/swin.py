@@ -25,8 +25,7 @@ QuantWindowAttention hook points (quant_block.py:350-425) — using the
 from __future__ import annotations
 
 import functools
-import math
-from typing import Dict, Optional, Sequence, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -8,8 +8,7 @@ computations run jitted on the accelerator.
 
 from __future__ import annotations
 
-import math
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -21,7 +21,7 @@ control flow) and dtype-preserving.
 
 from __future__ import annotations
 
-from typing import NamedTuple, Sequence
+from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp

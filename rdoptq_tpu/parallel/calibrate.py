@@ -10,7 +10,7 @@ the all-gathers at tensor-parallel layer boundaries.
 from __future__ import annotations
 
 import functools
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -14,7 +14,7 @@ and a sibling ``"bn"`` subtree ``{"mean", "var", "scale", "bias", "eps"}``
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 

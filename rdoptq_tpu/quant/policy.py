@@ -11,7 +11,6 @@ from __future__ import annotations
 
 from typing import Sequence, Tuple
 
-from ..models.base import Coder
 from . import wrap
 
 

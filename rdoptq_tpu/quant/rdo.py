@@ -31,7 +31,7 @@ import jax
 import jax.numpy as jnp
 import optax
 
-from ..models.base import Coder, Stage, get_leaf
+from ..models.base import Coder
 from ..models.layers import NULL_CTX, QuantCtx
 from ..ops import adaround as AR
 from ..ops import quant as Q

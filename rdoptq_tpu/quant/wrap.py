@@ -24,7 +24,6 @@ import dataclasses
 from typing import Dict, Mapping, Optional, Sequence, Tuple
 
 import jax
-import jax.numpy as jnp
 
 from ..models.base import get_leaf, set_leaf
 from ..ops import adaround as AR

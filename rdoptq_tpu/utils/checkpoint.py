@@ -16,9 +16,8 @@ package.
 
 from __future__ import annotations
 
-import dataclasses
 import json
-from typing import Any, Dict, Tuple
+from typing import Any, Dict
 
 import jax
 import jax.numpy as jnp

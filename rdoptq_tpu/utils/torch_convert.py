@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import math
 import re
-from typing import Dict, Optional
+from typing import Dict
 
 import numpy as np
 
