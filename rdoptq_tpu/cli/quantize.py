@@ -30,18 +30,29 @@ from ..utils.logging_utils import Timer, setup_logger
 log = logging.getLogger("quantize")
 
 
-def validate_real_codec(model, params, img: np.ndarray, tables) -> dict:
+def validate_real_codec(model, params, img: np.ndarray, tables,
+                        kind: str = "checkerboard") -> dict:
     """Real compress->decompress on one image with enc/dec timing
     (reference validate_model, quantize.py:60-92; timings as in
-    single_test.py:144-156)."""
+    single_test.py:144-156). ``kind``: 'checkerboard' (TinyLIC) or 'ar'
+    (wavefront causal-context codec for Minnen/Cheng/Lu)."""
     x, meta = M.pad_to_multiple(jnp.asarray(img), 64)
     t0 = time.time()
-    out = codec.tinylic_compress(model, params, x, tables)
+    if kind == "checkerboard":
+        out = codec.tinylic_compress(model, params, x, tables)
+    else:
+        from ..coding import ar
+        out = ar.ar_compress(model, params, x, tables)
     jax.block_until_ready(x)
     enc_t = time.time() - t0
     t0 = time.time()
-    x_hat = codec.tinylic_decompress(model, params, out["strings"],
-                                     out["shape"], tables)
+    if kind == "checkerboard":
+        x_hat = codec.tinylic_decompress(model, params, out["strings"],
+                                         out["shape"], tables)
+    else:
+        from ..coding import ar
+        x_hat = ar.ar_decompress(model, params, out["strings"],
+                                 out["shape"], out["y_shape"], tables)
     dec_t = time.time() - t0
     x_hat = M.crop_to_original(jnp.asarray(x_hat), meta)
     x_ref = M.crop_to_original(x, meta)
@@ -64,15 +75,15 @@ def run(arch: str = "TinyLIC", mode: str = "INT8", quality: int = 6,
            else datasets.kodak(limit=1)[0])
 
     results = {"fp32_size_mb": light.model_size_bytes(params) / 1e6}
-    supports_codec = arch == "TinyLIC"
-    tables = None
-    if supports_codec:
-        from ..ops import entropy as E
-        params = dict(params)
-        params["eb"] = E.fit_quantiles(params["eb"])
-        tables = codec.build_codec_tables(params["eb"])
-        results["fp32"] = validate_real_codec(model, params, img, tables)
-        log.info("FP32: %s", results["fp32"])
+    supports_codec = True
+    codec_kind = "checkerboard" if arch == "TinyLIC" else "ar"
+    from ..ops import entropy as E
+    params = dict(params)
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+    results["fp32"] = validate_real_codec(model, params, img, tables,
+                                          codec_kind)
+    log.info("FP32: %s", results["fp32"])
 
     if mode == "INT8":
         with Timer() as t:
@@ -82,7 +93,7 @@ def run(arch: str = "TinyLIC", mode: str = "INT8", quality: int = 6,
         params_q = light.dequantized_params(lq)
         if supports_codec:
             results["int8"] = validate_real_codec(model, params_q, img,
-                                                  tables)
+                                                  tables, codec_kind)
             log.info("INT8: %s", results["int8"])
         path = os.path.join(out_dir, f"{arch}_INT8.npz")
         checkpoint.save_pytree(path, {
@@ -97,7 +108,7 @@ def run(arch: str = "TinyLIC", mode: str = "INT8", quality: int = 6,
         results["fp16_size_mb"] = light.model_size_bytes(params_h) / 1e6
         if supports_codec:
             results["fp16"] = validate_real_codec(model, params_h, img,
-                                                  tables)
+                                                  tables, codec_kind)
         log.info("bf16 model: %.2f MB", results["fp16_size_mb"])
     else:
         raise ValueError(f"unknown mode {mode!r}")
