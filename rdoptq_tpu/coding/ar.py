@@ -142,9 +142,18 @@ def _wave_fns(model, h: int, w: int):
                                            jnp.arange(T))
         return buf[2:-2, 2:-2, :], syms, scales
 
+    def decode_step(params, y_hat_pad, hyper, t, prev_vals, prev_valid):
+        """Fused decode step: scatter wave t-1's decoded values, then
+        compute wave t's Gaussian parameters — ONE device dispatch per
+        wave instead of two (host<->device round trips dominate decode)."""
+        y_hat_pad = wave_update(y_hat_pad, t - 1, prev_vals, prev_valid)
+        scales, means = wave_params(params, y_hat_pad, hyper, t)
+        return y_hat_pad, scales, means
+
     return {"pixels": pixels, "counts": counts,
             "wave_params": jax.jit(wave_params),
             "wave_update": jax.jit(wave_update),
+            "decode_step": jax.jit(decode_step),
             "encode_scan": jax.jit(encode_scan)}
 
 
@@ -218,21 +227,28 @@ def ar_decompress(model, params, strings: List[bytes],
     hyper0 = hyper[0]
     y_hat_pad = jnp.zeros((h + 4, w + 4, M), jnp.float32)
     P = pixels.shape[1]
-    for t in range(pixels.shape[0]):
+    T = pixels.shape[0]
+    # fused decode loop: one device dispatch per wave (scatter of the
+    # previous wave's values + this wave's Gaussian params together)
+    prev_vals = jnp.zeros((P, M), jnp.float32)
+    prev_valid = jnp.zeros((P,), bool)
+    for t in range(T):
         n = int(counts[t])
+        y_hat_pad, scales, means = fns["decode_step"](
+            params, y_hat_pad, hyper0, jnp.int32(t), prev_vals, prev_valid)
         if n == 0:
+            prev_valid = jnp.zeros((P,), bool)
             continue
-        scales, means = fns["wave_params"](params, y_hat_pad, hyper0,
-                                           jnp.int32(t))
         scales_np = np.asarray(scales)[:n]
         idx = np.asarray(E.build_indexes(table_j, jnp.asarray(scales_np)))
         sym = dec.decode(idx.reshape(-1), g.cdf, g.cdf_lengths, g.offsets)
         vals = np.zeros((P, M), np.float32)
         vals[:n] = sym.reshape(n, M) + np.asarray(means)[:n]
-        valid = np.arange(P) < n
-        y_hat_pad = fns["wave_update"](y_hat_pad, jnp.int32(t),
-                                      jnp.asarray(vals),
-                                      jnp.asarray(valid))
+        prev_vals = jnp.asarray(vals)
+        prev_valid = jnp.asarray(np.arange(P) < n)
+    # scatter the final wave
+    y_hat_pad = fns["wave_update"](y_hat_pad, jnp.int32(T - 1), prev_vals,
+                                   prev_valid)
     dec.close()
     y_hat = y_hat_pad[2:-2, 2:-2, :][None]
     x_hat = _synthesis_fn(model)(params, y_hat)
