@@ -144,11 +144,12 @@ def _wave_fns(model, h: int, w: int):
 
     def decode_step(params, y_hat_pad, hyper, t, prev_vals, prev_valid):
         """Fused decode step: scatter wave t-1's decoded values, then
-        compute wave t's Gaussian parameters — ONE device dispatch per
-        wave instead of two (host<->device round trips dominate decode)."""
+        compute wave t's CDF indexes + means — ONE device dispatch per
+        wave (host<->device round trips dominate decode latency)."""
         y_hat_pad = wave_update(y_hat_pad, t - 1, prev_vals, prev_valid)
         scales, means = wave_params(params, y_hat_pad, hyper, t)
-        return y_hat_pad, scales, means
+        idx = E.build_indexes(E.default_scale_table(), scales)
+        return y_hat_pad, idx, means
 
     return {"pixels": pixels, "counts": counts,
             "wave_params": jax.jit(wave_params),
@@ -234,16 +235,16 @@ def ar_decompress(model, params, strings: List[bytes],
     prev_valid = jnp.zeros((P,), bool)
     for t in range(T):
         n = int(counts[t])
-        y_hat_pad, scales, means = fns["decode_step"](
+        y_hat_pad, idx_j, means_j = fns["decode_step"](
             params, y_hat_pad, hyper0, jnp.int32(t), prev_vals, prev_valid)
         if n == 0:
             prev_valid = jnp.zeros((P,), bool)
             continue
-        scales_np = np.asarray(scales)[:n]
-        idx = np.asarray(E.build_indexes(table_j, jnp.asarray(scales_np)))
-        sym = dec.decode(idx.reshape(-1), g.cdf, g.cdf_lengths, g.offsets)
+        idx, means = jax.device_get((idx_j, means_j))  # one transfer
+        sym = dec.decode(idx[:n].reshape(-1), g.cdf, g.cdf_lengths,
+                         g.offsets)
         vals = np.zeros((P, M), np.float32)
-        vals[:n] = sym.reshape(n, M) + np.asarray(means)[:n]
+        vals[:n] = sym.reshape(n, M) + means[:n]
         prev_vals = jnp.asarray(vals)
         prev_valid = jnp.asarray(np.arange(P) < n)
     # scatter the final wave
