@@ -213,9 +213,15 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
                    cali_data, cfg: RDOConfig,
                    skip_act: frozenset = frozenset(),
                    key: Optional[jax.Array] = None,
-                   cache: Optional[CoderCache] = None) -> Dict[str, float]:
+                   cache: Optional[CoderCache] = None,
+                   mesh=None) -> Dict[str, float]:
     """Optimize the AdaRound alphas of one unit (stage) and fold the result
-    into ``state``. Returns timing/loss diagnostics."""
+    into ``state``. Returns timing/loss diagnostics.
+
+    With a ``mesh`` (dp × tp), the calibration caches shard over ``dp``
+    (batch axis) and the unit's alphas over ``tp`` (output channels); XLA
+    inserts the collectives. Without a mesh, everything runs single-device
+    exactly as the reference schedule does."""
     stage = coder.stages[k]
     # stages may list optional leaves (e.g. identity-skip residual blocks
     # have no skip conv); keep only leaves that exist in this model
@@ -288,6 +294,19 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
             step, (alphas, opt_state, key), jnp.arange(cfg.iters))
         return alphas, losses
 
+    if mesh is not None:
+        from ..parallel import mesh as mesh_lib
+        batch_sh = mesh_lib.batch_sharding(mesh)
+        fp_in, q_in, fp_out, fp_net_out = (
+            jax.device_put(v, batch_sh)
+            for v in (fp_in, q_in, fp_out, fp_net_out))
+        alphas0 = {
+            p: jax.device_put(
+                a, mesh_lib.channel_sharding(mesh, a.ndim, -1)
+                if a.ndim >= 2 else mesh_lib.replicated(mesh))
+            for p, a in alphas0.items()}
+        params = mesh_lib.replicate_tree(params, mesh)
+
     t0 = time.time()
     alphas, losses = run_scan(alphas0, dict(state.alphas), key, params,
                               dict(state.qstate), fp_in, q_in, fp_out,
@@ -318,9 +337,10 @@ def calibrate_unit(model, params, state: PTQState, coder: Coder, k: int,
 
 def calibrate_model(model, params, cali_data, wcfg: wrap.WeightQuantConfig,
                     cfg: RDOConfig, skip_act: frozenset = frozenset(),
-                    seed: int = 1005) -> PTQState:
+                    seed: int = 1005, mesh=None) -> PTQState:
     """Full sequential calibration over the model's unit schedule
-    (the reference's `recon_model` walk, main2.py:227-264)."""
+    (the reference's `recon_model` walk, main2.py:227-264). Pass ``mesh``
+    to shard every unit's optimization over a device mesh."""
     state = init_ptq_state(params, wcfg)
     key = jax.random.PRNGKey(seed)
     cache = CoderCache(model, params, cali_data, cfg, skip_act)
@@ -329,7 +349,7 @@ def calibrate_model(model, params, cali_data, wcfg: wrap.WeightQuantConfig,
         for k in range(len(coder.stages)):
             key, sub = jax.random.split(key)
             calibrate_unit(model, params, state, coder, k, cali_data, cfg,
-                           skip_act, sub, cache)
+                           skip_act, sub, cache, mesh)
     return state
 
 

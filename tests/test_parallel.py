@@ -63,3 +63,30 @@ def test_evaluate_sharded_matches_singledevice():
     ref = harness.evaluate(model, params, imgs, pad_multiple=64)
     assert abs(res.psnr - ref.psnr) < 0.05
     assert abs(res.bpp - ref.bpp) < 1e-3
+
+
+def test_calibrate_unit_sharded_matches_unsharded():
+    """rdo.calibrate_unit with a mesh must produce the same rounding
+    decisions as single-device execution (same PRNG key)."""
+    import numpy as np
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.parallel import mesh as pmesh
+    from rdoptq_tpu.quant import rdo, wrap
+
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    cali = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    cfg = rdo.RDOConfig(iters=30, batch_size=2)
+
+    def run(mesh):
+        state = rdo.init_ptq_state(params, wrap.WeightQuantConfig(n_bits=4))
+        rdo.calibrate_unit(model, params, state, model.g_a, 0, cali, cfg,
+                           key=jax.random.PRNGKey(2), mesh=mesh)
+        return np.asarray(state.alphas["g_a/conv0/w"] >= 0)
+
+    single = run(None)
+    sharded = run(pmesh.make_mesh(dp=4, tp=2))
+    # identical PRNG stream; only reduction order can differ -> allow a
+    # tiny fraction of knife-edge sign flips
+    agree = (single == sharded).mean()
+    assert agree > 0.995, agree
