@@ -49,7 +49,8 @@ def dump_reconstructions(model, params, images, ctx, pad, dump_dir,
 def run(arch: str, quality: int = 6, dataset: str = "",
         checkpoint_path: str = "", artifact: str = "",
         act_quant: bool = False, n_bits_a: int = 8, dump_dir: str = "",
-        freq: int = 0, seed: int = 1005) -> dict:
+        freq: int = 0, seed: int = 1005,
+        int8_serving: bool = False) -> dict:
     setup_logger(None)
     model = registry.build_model(arch, quality)
     params = registry.load_params(model, arch, checkpoint_path, seed=seed)
@@ -65,6 +66,11 @@ def run(arch: str, quality: int = 6, dataset: str = "",
             ctx = QuantCtx(act_paths=frozenset(state.trained_stages),
                            act_kind="dynamic", act_bits=n_bits_a,
                            skip_paths=policy.output_act_skips(model))
+    if int8_serving:
+        # true-INT8 compute path: int8 kernels on the MXU (applied after
+        # any calibration artifact so the hard-rounded weights are served)
+        from ..quant import serve_int8
+        params = serve_int8.int8_serving_params(params)
     res = harness.evaluate(model, params, images, ctx=ctx, pad_multiple=pad)
     size_mb = light.model_size_bytes(params) / 1e6
     log.info("%s q%d | %s | model %.2f MB", arch, quality, res.row(),
@@ -88,9 +94,12 @@ def main(argv=None):
     p.add_argument("--n_bits_a", type=int, default=8)
     p.add_argument("--dump_dir", default="")
     p.add_argument("--freq", type=int, default=0)
+    p.add_argument("--int8_serving", action="store_true",
+                   help="run the true-INT8 MXU compute path")
     a = p.parse_args(argv)
     out = run(a.arch, a.quality, a.dataset, a.checkpoint, a.artifact,
-              a.act_quant, a.n_bits_a, a.dump_dir, a.freq)
+              a.act_quant, a.n_bits_a, a.dump_dir, a.freq,
+              int8_serving=a.int8_serving)
     print(json.dumps({k: v for k, v in out.items() if k != "per_image"},
                      indent=2))
 

@@ -99,3 +99,21 @@ def test_evaluate_driver_with_dumps(tmp_path, monkeypatch):
     assert np.isfinite(out["psnr"]) and out["model_size_mb"] > 0
     dumps = os.listdir(tmp_path / "rec")
     assert len(dumps) == 2
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_evaluate_driver_int8_serving(tmp_path, monkeypatch):
+    from rdoptq_tpu.cli import evaluate as ecli
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: Minnen2018(N=8, M=8))
+    monkeypatch.setattr(datasets, "kodak",
+                        lambda d=None, limit=None:
+                        datasets.load_dir(datasets.DEFAULT_KODAK, 1))
+    out = ecli.run(arch="Minnen2018", int8_serving=True)
+    assert np.isfinite(out["psnr"])
+    # int8 weights shrink the reported model size
+    out_fp = ecli.run(arch="Minnen2018")
+    assert out["model_size_mb"] < out_fp["model_size_mb"]
