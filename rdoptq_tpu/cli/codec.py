@@ -1,0 +1,127 @@
+"""Image <-> bitstream codec driver.
+
+The end-user tool the reference exposes through its `_encode`/`_decode`
+helpers (task-oriented-PTQ/utils.py:253-409): compress an image file to a
+framed `.rdoq` bitstream with any zoo model (optionally with a quantized
+artifact applied), and decompress it back to a PNG. Run:
+
+    python -m rdoptq_tpu.cli.codec encode kodim01.png out.rdoq \
+        --arch TinyLIC
+    python -m rdoptq_tpu.cli.codec decode out.rdoq rec.png --arch TinyLIC
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import logging
+import struct
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..coding import ar, bitstream, codec
+from ..eval import datasets
+from ..models import registry
+from ..ops import entropy as E
+from ..ops import metrics as M
+from ..utils.logging_utils import setup_logger
+
+log = logging.getLogger("codec")
+
+
+def _prepare(arch: str, quality: int, checkpoint_path: str, artifact: str,
+             seed: int):
+    model = registry.build_model(arch, quality)
+    params = registry.load_params(model, arch, checkpoint_path, seed=seed)
+    if artifact:
+        from ..utils.checkpoint import load_ptq_state
+        state = load_ptq_state(artifact)
+        params = state.quantized_params(params, untrained="nearest")
+    params = dict(params)
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+    return model, params, tables
+
+
+def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
+           quality: int = 6, checkpoint_path: str = "", artifact: str = "",
+           metric: str = "mse", seed: int = 1005) -> dict:
+    model, params, tables = _prepare(arch, quality, checkpoint_path,
+                                     artifact, seed)
+    img = datasets.load_image(image_path)
+    h, w = img.shape[1], img.shape[2]
+    # corner-anchored padding so the decoder can crop at [:h, :w]
+    ph = -(-h // 64) * 64 - h
+    pw = -(-w // 64) * 64 - w
+    x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    t0 = time.time()
+    if arch == "TinyLIC":
+        out = codec.tinylic_compress(model, params, x, tables)
+        shape_blob = struct.pack("<HH", *out["shape"])
+    else:
+        out = ar.ar_compress(model, params, x, tables)
+        shape_blob = struct.pack("<HHHH", *out["shape"], *out["y_shape"])
+    enc_s = time.time() - t0
+    strings = [shape_blob] + out["strings"]
+    nbytes = bitstream.write_bitstream(out_path, arch, quality, metric,
+                                       (h, w), strings)
+    bpp = nbytes * 8.0 / (h * w)
+    log.info("encoded %s -> %s: %d bytes, %.4f bpp, %.2fs", image_path,
+             out_path, nbytes, bpp, enc_s)
+    return {"bytes": nbytes, "bpp": bpp, "enc_s": enc_s}
+
+
+def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
+           checkpoint_path: str = "", artifact: str = "",
+           seed: int = 1005) -> dict:
+    head = bitstream.read_bitstream(in_path)
+    arch = arch or head["arch"]
+    quality = quality or head["quality"]
+    model, params, tables = _prepare(arch, quality, checkpoint_path,
+                                     artifact, seed)
+    h, w = head["size"]
+    shape_blob, *strings = head["strings"]
+    t0 = time.time()
+    if arch == "TinyLIC":
+        zshape = struct.unpack("<HH", shape_blob)
+        x_hat = codec.tinylic_decompress(model, params, strings, zshape,
+                                         tables)
+    else:
+        vals = struct.unpack("<HHHH", shape_blob)
+        x_hat = ar.ar_decompress(model, params, strings, vals[:2],
+                                 vals[2:], tables)
+    dec_s = time.time() - t0
+    x_hat = np.asarray(x_hat)[:, :h, :w, :]
+    from PIL import Image
+    arr = (np.clip(x_hat[0], 0, 1) * 255).astype(np.uint8)
+    Image.fromarray(arr).save(out_path)
+    log.info("decoded %s -> %s (%dx%d) in %.2fs", in_path, out_path, w, h,
+             dec_s)
+    return {"dec_s": dec_s, "size": (h, w)}
+
+
+def main(argv=None):
+    p = argparse.ArgumentParser(description=__doc__)
+    p.add_argument("mode", choices=["encode", "decode"])
+    p.add_argument("input")
+    p.add_argument("output")
+    p.add_argument("--arch", default="TinyLIC")
+    p.add_argument("--quality", type=int, default=6)
+    p.add_argument("--checkpoint", default="")
+    p.add_argument("--artifact", default="")
+    a = p.parse_args(argv)
+    setup_logger(None)
+    if a.mode == "encode":
+        out = encode(a.input, a.output, a.arch, a.quality, a.checkpoint,
+                     a.artifact)
+    else:
+        out = decode(a.input, a.output, a.arch, a.quality, a.checkpoint,
+                     a.artifact)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -117,3 +117,32 @@ def test_evaluate_driver_int8_serving(tmp_path, monkeypatch):
     # int8 weights shrink the reported model size
     out_fp = ecli.run(arch="Minnen2018")
     assert out["model_size_mb"] < out_fp["model_size_mb"]
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_codec_cli_file_roundtrip(tmp_path, monkeypatch):
+    """encode file -> .rdoq -> decode file with the TinyLIC codec."""
+    from PIL import Image
+    from rdoptq_tpu.cli import codec as ccli
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.tinylic import TinyLIC
+
+    monkeypatch.setattr(
+        registry, "build_model",
+        lambda arch, q, lam=None: TinyLIC(N=16, M=24, slices=(8, 16),
+                                          depths=(1, 1, 1, 1, 1, 1)))
+    # small non-multiple-of-64 image exercises the padding path
+    src = sorted(os.listdir(datasets.DEFAULT_KODAK))[0]
+    img = Image.open(os.path.join(datasets.DEFAULT_KODAK, src)).crop(
+        (0, 0, 100, 80))
+    src_path = str(tmp_path / "in.png")
+    img.save(src_path)
+
+    bs_path = str(tmp_path / "out.rdoq")
+    rec_path = str(tmp_path / "rec.png")
+    enc = ccli.encode(src_path, bs_path, arch="TinyLIC")
+    assert enc["bytes"] > 17 and np.isfinite(enc["bpp"])
+    dec = ccli.decode(bs_path, rec_path)  # arch read from the header
+    assert dec["size"] == (80, 100)
+    rec = np.asarray(Image.open(rec_path))
+    assert rec.shape == (80, 100, 3)
