@@ -117,3 +117,49 @@ def test_int8_serving_full_model():
     # W8A8-class error: outputs stay close to FP32 on a random model
     d = float(jnp.mean(jnp.abs(out8["x_hat"] - out32["x_hat"])))
     assert d < 0.1
+
+
+def test_fold_bn_matches_torch():
+    """Conv+BN folding equals torch's conv->batchnorm eval composition."""
+    torch = pytest.importorskip("torch")
+    import torch.nn as tnn
+    from rdoptq_tpu.models import layers as L
+    from rdoptq_tpu.quant import fold_bn
+    from rdoptq_tpu.utils import torch_convert as tc
+
+    torch.manual_seed(3)
+    conv = tnn.Conv2d(4, 6, 3, padding=1)
+    bn = tnn.BatchNorm2d(6).eval()
+    with torch.no_grad():
+        bn.running_mean.normal_(0, 0.5)
+        bn.running_var.uniform_(0.5, 2.0)
+        bn.weight.uniform_(0.5, 1.5)
+        bn.bias.normal_(0, 0.2)
+    x = torch.randn(1, 4, 8, 8)
+    with torch.no_grad():
+        want = bn(conv(x)).numpy().transpose(0, 2, 3, 1)
+
+    node = {"w": jnp.asarray(tc.conv_kernel(conv.weight)),
+            "b": jnp.asarray(tc._np(conv.bias)),
+            "bn": {"mean": jnp.asarray(tc._np(bn.running_mean)),
+                   "var": jnp.asarray(tc._np(bn.running_var)),
+                   "scale": jnp.asarray(tc._np(bn.weight)),
+                   "bias": jnp.asarray(tc._np(bn.bias)),
+                   "eps": bn.eps}}
+    tree = {"layer": node}
+    fused = fold_bn.search_fold_and_remove_bn(tree)
+    assert "bn" not in fused["layer"]
+    got = np.asarray(L.conv2d(fused["layer"],
+                              jnp.asarray(x.numpy().transpose(0, 2, 3, 1))))
+    assert np.allclose(got, want, atol=1e-5), np.abs(got - want).max()
+
+
+def test_flops_coder_vs_total_consistency():
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.utils import flops
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    total = flops.model_flops(model, params, (1, 64, 64, 3))["flops"]
+    parts = sum(flops.coder_flops(model, params, c, s)
+                for c, s in [("g_a", (1, 64, 64, 3))])
+    assert parts < total
