@@ -43,8 +43,14 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         model = registry.build_model(arch, q)
         ckpt = ckpt_pattern.format(quality=q) if ckpt_pattern else ""
         params = registry.load_params(model, arch, ckpt, seed=seed + q)
+        # one gated program per model config serves FP32 and quantized evals
+        skips_q = policy.output_act_skips(model)
+        eval_fn = harness.make_gated_eval_fn(model, skips_q, "dynamic",
+                                             n_bits_a)
+        gates_off = harness.stage_gates(model, ())
 
-        res_fp = harness.evaluate(model, params, images, pad_multiple=pad)
+        res_fp = harness.evaluate(model, params, images, pad_multiple=pad,
+                                  eval_fn=eval_fn, gates=gates_off)
         anchor["bpp"].append(res_fp.bpp)
         anchor["psnr"].append(res_fp.psnr)
 
@@ -59,19 +65,19 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
                                  act_bits=n_bits_a)
             key = jax.random.PRNGKey(seed)
+            cache = rdo.CoderCache(model, params, cali, rcfg, skips)
             for cname in model.calibration_order():
                 coder = model.coders[cname]
                 for k in range(len(coder.stages)):
                     key, sub = jax.random.split(key)
                     rdo.calibrate_unit(model, params, state, coder, k,
-                                       cali, rcfg, skips, sub)
+                                       cali, rcfg, skips, sub, cache)
         params_q = state.quantized_params(params, untrained="nearest")
-        ctx = QuantCtx(act_paths=frozenset(
-            st.name for c in model.coders.values() for st in c.stages),
-            act_kind="dynamic", act_bits=n_bits_a,
-            skip_paths=skips) if act_quant else NULL_CTX
-        res_q = harness.evaluate(model, params_q, images, ctx=ctx,
-                                 pad_multiple=pad)
+        stages_on = [st.name for c in model.coders.values()
+                     for st in c.stages] if act_quant else []
+        gates_q = harness.stage_gates(model, stages_on)
+        res_q = harness.evaluate(model, params_q, images, pad_multiple=pad,
+                                 eval_fn=eval_fn, gates=gates_q)
         test["bpp"].append(res_q.bpp)
         test["psnr"].append(res_q.psnr)
         per_quality[q] = {"fp32": dataclass_row(res_fp),

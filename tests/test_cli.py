@@ -146,3 +146,27 @@ def test_codec_cli_file_roundtrip(tmp_path, monkeypatch):
     assert dec["size"] == (80, 100)
     rec = np.asarray(Image.open(rec_path))
     assert rec.shape == (80, 100, 3)
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_calibration_is_deterministic(tmp_path, monkeypatch):
+    """Same seed -> identical hard rounding decisions (the reference's
+    seed_all reproducibility contract, main2.py:77-85)."""
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.quant import rdo, wrap
+
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    cali = jax.random.uniform(jax.random.PRNGKey(1), (4, 64, 64, 3))
+    cfg = rdo.RDOConfig(iters=25, batch_size=2, act_quant=True)
+
+    def run():
+        state = rdo.calibrate_model(
+            model, params, cali, wrap.WeightQuantConfig(n_bits=4), cfg,
+            seed=7)
+        return {k: np.asarray(v >= 0) for k, v in state.alphas.items()}
+
+    a, b = run(), run()
+    assert set(a) == set(b)
+    for k in a:
+        assert np.array_equal(a[k], b[k]), k
