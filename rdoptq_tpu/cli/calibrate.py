@@ -79,6 +79,13 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
         n_bits=cfg.n_bits_w, channel_wise=cfg.channel_wise,
         scale_method=cfg.init, sym=cfg.sym, bit_overrides=overrides)
     skips = policy.output_act_skips(model)
+    # built before the (slow) anchor evals so bad flags fail fast
+    rcfg = rdo.RDOConfig(
+        iters=cfg.iters_w, batch_size=cfg.batch_size, weight=cfg.weight,
+        b_start=cfg.b_start, b_end=cfg.b_end, warmup=cfg.warmup,
+        input_prob=cfg.input_prob, lr=cfg.lr, task_p=cfg.task_loss,
+        act_quant=cfg.act_quant, act_bits=cfg.n_bits_a,
+        remat=cfg.remat, compute_dtype=cfg.compute_dtype)
     # one gated eval program shared by every quant-state evaluation
     eval_fn = harness.make_gated_eval_fn(model, skips, "dynamic",
                                          cfg.n_bits_a)
@@ -109,12 +116,6 @@ def run(cfg: config.RunConfig, checkpoint_path: str = "") -> dict:
                                gates=off_gates)
         log.info("W%d nearest:       %s", cfg.n_bits_w, res.row())
         results["w_nearest"] = res
-
-    rcfg = rdo.RDOConfig(
-        iters=cfg.iters_w, batch_size=cfg.batch_size, weight=cfg.weight,
-        b_start=cfg.b_start, b_end=cfg.b_end, warmup=cfg.warmup,
-        input_prob=cfg.input_prob, lr=cfg.lr, task_p=cfg.task_loss,
-        act_quant=cfg.act_quant, act_bits=cfg.n_bits_a)
 
     snapshot = os.path.join(out_dir, "ptq_state_partial.npz")
     with Timer() as t:

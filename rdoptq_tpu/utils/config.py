@@ -58,6 +58,8 @@ class RunConfig:
     b_end: float = 2.0
     warmup: float = 0.2
     init: str = "max"             # max | mse | gaussian | l1 | l2
+    remat: bool = False           # remat the task-loss suffix (memory<->FLOPs)
+    compute_dtype: str = "float32"  # float32 | bfloat16 calibration forward
     # data
     calib_dir: str = ""
     test_dir: str = ""

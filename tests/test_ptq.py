@@ -132,6 +132,32 @@ def test_rdo_calibrate_unit_improves_local_loss(tiny, cali):
     assert mse_hard <= mse_near * 1.5  # sanity: same ballpark as nearest
 
 
+def test_rdo_bf16_compute_matches_f32_rounding(tiny, cali):
+    """compute_dtype='bfloat16' runs the forward/suffix in bf16 but keeps
+    alpha math in f32; the learned hard-rounding decisions must agree with
+    the f32 path on the overwhelming majority of weights."""
+    model, params = tiny
+    wcfg = wrap.WeightQuantConfig(n_bits=4, channel_wise=True,
+                                  scale_method="max")
+
+    def run(compute_dtype):
+        state = rdo.init_ptq_state(params, wcfg)
+        cfg = rdo.RDOConfig(iters=120, batch_size=2, warmup=0.2,
+                            input_prob=1.0, compute_dtype=compute_dtype)
+        info = rdo.calibrate_unit(model, params, state, model.g_a, 0, cali,
+                                  cfg, key=jax.random.PRNGKey(7))
+        return state, info
+
+    s32, i32 = run("float32")
+    s16, i16 = run("bfloat16")
+    assert np.isfinite(i16["loss_last"])
+    a32 = np.asarray(s32.alphas["g_a/conv0/w"])
+    a16 = np.asarray(s16.alphas["g_a/conv0/w"]).astype(np.float32)
+    assert a16.dtype == np.float32  # alphas themselves never bf16
+    agree = np.mean((a32 >= 0) == (a16 >= 0))
+    assert agree > 0.95, f"hard-round agreement {agree:.3f}"
+
+
 def test_rdo_state_modes(tiny):
     _, params = tiny
     wcfg = wrap.WeightQuantConfig(n_bits=8)
