@@ -41,4 +41,21 @@ def _enable_compile_cache():
         pass
 
 
+def _platform_override():
+    """``RDOPTQ_PLATFORM=cpu`` forces the JAX platform. Needed because the
+    environment presets ``JAX_PLATFORMS`` before Python starts, so the
+    standard env var cannot be overridden from a shell — this gives CLIs
+    and scripts a working escape (e.g. run a smoke test on CPU while the
+    single TPU chip is busy)."""
+    import os
+    plat = os.environ.get("RDOPTQ_PLATFORM")
+    if plat:
+        try:
+            import jax
+            jax.config.update("jax_platforms", plat)
+        except Exception:  # pragma: no cover
+            pass
+
+
 _enable_compile_cache()
+_platform_override()

@@ -70,6 +70,17 @@ def _subpel_stage(name: str, path: str, r: int = 2, act: bool = True):
     return Stage(name, fn, (f"{path}/w",))
 
 
+def _attn_stage(name: str, path: str):
+    def fn(params, x, ctx):
+        return L.attention_block(_sub(params, path), x, ctx, name)
+
+    leaf_paths = tuple(
+        f"{path}/{branch}/u{i}/{c}/w"
+        for branch in ("trunk", "mask") for i in range(3)
+        for c in ("c1", "c2", "c3")) + (f"{path}/mask_out/w",)
+    return Stage(name, fn, leaf_paths)
+
+
 def _rb_init(key, c_in, c_out):
     # residual blocks here always carry an explicit 1x1 skip for c_in==c_out
     # identity case the skip is omitted by residual_block_init
@@ -78,34 +89,46 @@ def _rb_init(key, c_in, c_out):
 
 @dataclasses.dataclass(frozen=True)
 class Cheng2020:
-    """quality 1-3: N=128; quality 4-6: N=192 (CompressAI registry)."""
+    """quality 1-3: N=128; quality 4-6: N=192 (CompressAI registry).
+
+    ``attention=True`` builds the cheng2020_attn variant (the paper's full
+    model: simplified non-local attention after the 4x-downsample stage and
+    at both latent ends, CompressAI Cheng2020Attention)."""
 
     N: int = 192
+    attention: bool = False
 
     def init(self, key: jax.Array) -> Dict:
         ks = list(jax.random.split(key, 40))
         k = iter(ks)
         N = self.N
+        g_a = {
+            "rbws0": L.residual_block_with_stride_init(next(k), 3, N),
+            "rb1": _rb_init(next(k), N, N),
+            "rbws2": L.residual_block_with_stride_init(next(k), N, N),
+            "rb3": _rb_init(next(k), N, N),
+            "rbws4": L.residual_block_with_stride_init(next(k), N, N),
+            "rb5": _rb_init(next(k), N, N),
+            "conv6": L.conv_init(next(k), 3, N, N),
+        }
+        g_s = {
+            "rb0": _rb_init(next(k), N, N),
+            "rbu1": L.residual_block_upsample_init(next(k), N, N),
+            "rb2": _rb_init(next(k), N, N),
+            "rbu3": L.residual_block_upsample_init(next(k), N, N),
+            "rb4": _rb_init(next(k), N, N),
+            "rbu5": L.residual_block_upsample_init(next(k), N, N),
+            "rb6": _rb_init(next(k), N, N),
+            "subpel7": L.subpel_conv3x3_init(next(k), N, 3, 2),
+        }
+        if self.attention:
+            g_a["attn_mid"] = L.attention_block_init(next(k), N)
+            g_a["attn_out"] = L.attention_block_init(next(k), N)
+            g_s["attn_in"] = L.attention_block_init(next(k), N)
+            g_s["attn_mid"] = L.attention_block_init(next(k), N)
         params = {
-            "g_a": {
-                "rbws0": L.residual_block_with_stride_init(next(k), 3, N),
-                "rb1": _rb_init(next(k), N, N),
-                "rbws2": L.residual_block_with_stride_init(next(k), N, N),
-                "rb3": _rb_init(next(k), N, N),
-                "rbws4": L.residual_block_with_stride_init(next(k), N, N),
-                "rb5": _rb_init(next(k), N, N),
-                "conv6": L.conv_init(next(k), 3, N, N),
-            },
-            "g_s": {
-                "rb0": _rb_init(next(k), N, N),
-                "rbu1": L.residual_block_upsample_init(next(k), N, N),
-                "rb2": _rb_init(next(k), N, N),
-                "rbu3": L.residual_block_upsample_init(next(k), N, N),
-                "rb4": _rb_init(next(k), N, N),
-                "rbu5": L.residual_block_upsample_init(next(k), N, N),
-                "rb6": _rb_init(next(k), N, N),
-                "subpel7": L.subpel_conv3x3_init(next(k), N, 3, 2),
-            },
+            "g_a": g_a,
+            "g_s": g_s,
             "h_a": {
                 "conv0": L.conv_init(next(k), 3, N, N),
                 "conv1": L.conv_init(next(k), 3, N, N),
@@ -133,7 +156,7 @@ class Cheng2020:
 
     @property
     def g_a(self) -> Coder:
-        return Coder("g_a", (
+        stages = [
             _rbws_stage("g_a/rbws0", "g_a/rbws0"),
             _rb_stage("g_a/rb1", "g_a/rb1"),
             _rbws_stage("g_a/rbws2", "g_a/rbws2"),
@@ -141,11 +164,17 @@ class Cheng2020:
             _rbws_stage("g_a/rbws4", "g_a/rbws4"),
             _rb_stage("g_a/rb5", "g_a/rb5"),
             _conv_stage("g_a/conv6", "g_a/conv6", stride=2),
-        ))
+        ]
+        if self.attention:
+            # CompressAI Cheng2020Attention: attention after the 4x stage
+            # and after the final stride conv
+            stages.insert(3, _attn_stage("g_a/attn_mid", "g_a/attn_mid"))
+            stages.append(_attn_stage("g_a/attn_out", "g_a/attn_out"))
+        return Coder("g_a", tuple(stages))
 
     @property
     def g_s(self) -> Coder:
-        return Coder("g_s", (
+        stages = [
             _rb_stage("g_s/rb0", "g_s/rb0"),
             _rbu_stage("g_s/rbu1", "g_s/rbu1"),
             _rb_stage("g_s/rb2", "g_s/rb2"),
@@ -154,7 +183,11 @@ class Cheng2020:
             _rbu_stage("g_s/rbu5", "g_s/rbu5"),
             _rb_stage("g_s/rb6", "g_s/rb6"),
             _subpel_stage("g_s/subpel7", "g_s/subpel7", act=False),
-        ))
+        ]
+        if self.attention:
+            stages.insert(0, _attn_stage("g_s/attn_in", "g_s/attn_in"))
+            stages.insert(5, _attn_stage("g_s/attn_mid", "g_s/attn_mid"))
+        return Coder("g_s", tuple(stages))
 
     @property
     def h_a(self) -> Coder:
@@ -246,3 +279,11 @@ def cheng2020(quality: int = 6) -> Cheng2020:
     if not 1 <= quality <= 6:
         raise ValueError("quality must be in 1..6")
     return Cheng2020(N=128 if quality <= 3 else 192)
+
+
+def cheng2020_attn(quality: int = 6) -> Cheng2020:
+    """The paper's full cheng2020 with simplified non-local attention
+    (CompressAI ``cheng2020_attn`` registry sizes)."""
+    if not 1 <= quality <= 6:
+        raise ValueError("quality must be in 1..6")
+    return Cheng2020(N=128 if quality <= 3 else 192, attention=True)

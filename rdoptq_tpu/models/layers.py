@@ -398,8 +398,9 @@ def attention_block_init(key, c: int) -> Params:
                 "c2": conv_init(kb, 3, half, half),
                 "c3": conv_init(kc, 1, half, c)}
 
-    return {"trunk": [unit(keys[i]) for i in range(3)],
-            "mask": [unit(keys[3 + i]) for i in range(3)],
+    # dict-keyed units (not lists) so find_quant_leaves discovers the convs
+    return {"trunk": {f"u{i}": unit(keys[i]) for i in range(3)},
+            "mask": {f"u{i}": unit(keys[3 + i]) for i in range(3)},
             "mask_out": conv_init(keys[6], 1, c, c)}
 
 
@@ -413,11 +414,11 @@ def _attn_unit(p: Params, x: jax.Array) -> jax.Array:
 def attention_block(p: Params, x: jax.Array, ctx: QuantCtx = NULL_CTX,
                     name: str = "attn") -> jax.Array:
     trunk = x
-    for u in p["trunk"]:
-        trunk = _attn_unit(u, trunk)
+    for k in sorted(p["trunk"]):
+        trunk = _attn_unit(p["trunk"][k], trunk)
     mask = x
-    for u in p["mask"]:
-        mask = _attn_unit(u, mask)
+    for k in sorted(p["mask"]):
+        mask = _attn_unit(p["mask"][k], mask)
     mask = jax.nn.sigmoid(conv2d(p["mask_out"], mask, padding=0))
     return ctx.act(name, x + trunk * mask)
 

@@ -43,6 +43,38 @@ def test_cheng2020_block_unit_calibration():
     assert np.isfinite(info["loss_last"])
 
 
+def test_cheng2020_attn_forward_and_calibration():
+    """cheng2020_attn variant: attention stages in g_a/g_s, their convs
+    discovered as quant leaves and jointly calibrated as one unit."""
+    model = Cheng2020(N=16, attention=True)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = model.forward(params, x)
+    assert out["x_hat"].shape == x.shape
+    names = [st.name for st in model.g_a.stages]
+    assert names[3] == "g_a/attn_mid" and names[-1] == "g_a/attn_out"
+    assert model.g_s.stages[0].name == "g_s/attn_in"
+    paths = {l.path for l in wrap.find_quant_leaves(params)}
+    assert "g_a/attn_mid/trunk/u0/c1/w" in paths
+    assert "g_a/attn_mid/mask_out/w" in paths
+
+    cali = jax.random.uniform(jax.random.PRNGKey(2), (2, 64, 64, 3))
+    state = rdo.init_ptq_state(params, wrap.WeightQuantConfig(n_bits=8))
+    cfg = rdo.RDOConfig(iters=10, batch_size=2)
+    info = rdo.calibrate_unit(model, params, state, model.g_a, 3, cali,
+                              cfg, key=jax.random.PRNGKey(3))
+    assert "g_a/attn_mid/mask/u2/c3/w" in state.alphas
+    assert np.isfinite(info["loss_last"])
+
+
+def test_cheng2020_attn_registry():
+    from rdoptq_tpu.models import registry
+    m = registry.build_model("Cheng2020Attn", 3)
+    assert m.N == 128 and m.attention
+    m6 = registry.build_model("Cheng2020Attn", 6)
+    assert m6.N == 192
+
+
 @pytest.fixture(scope="module")
 def tiny_lu():
     model = Lu2022(embed_dim=16, latent_dim=32, window_size=4)
