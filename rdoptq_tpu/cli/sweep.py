@@ -60,7 +60,10 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             bit_overrides=policy.first_last_8bit(leaves))
         skips = policy.output_act_skips(model)
         state = rdo.init_ptq_state(params, wcfg)
+        calib_s = 0.0
         if iters_w > 0:
+            import time
+            t0 = time.time()
             cali = datasets.random_crops(images, 12, 256, seed)
             rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
                                  act_bits=n_bits_a)
@@ -72,6 +75,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                     key, sub = jax.random.split(key)
                     rdo.calibrate_unit(model, params, state, coder, k,
                                        cali, rcfg, skips, sub, cache)
+            calib_s = time.time() - t0
+            log.info("q%d calibration wall-clock: %.1fs", q, calib_s)
         params_q = state.quantized_params(params, untrained="nearest")
         stages_on = [st.name for c in model.coders.values()
                      for st in c.stages] if act_quant else []
@@ -81,7 +86,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         test["bpp"].append(res_q.bpp)
         test["psnr"].append(res_q.psnr)
         per_quality[q] = {"fp32": dataclass_row(res_fp),
-                          "quant": dataclass_row(res_q)}
+                          "quant": dataclass_row(res_q),
+                          "calibration_seconds": round(calib_s, 1)}
         log.info("q%d fp32 %s | quant %s", q, res_fp.row(), res_q.row())
 
     out = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
