@@ -249,6 +249,31 @@ def gaussian_likelihood(x: jax.Array, scales: jax.Array,
     return lower_bound(upper - lower, LIKELIHOOD_BOUND)
 
 
+def gaussian_mixture_likelihood(x: jax.Array, scales: jax.Array,
+                                means: jax.Array, weights: jax.Array,
+                                scale_bound: float = SCALES_MIN) -> jax.Array:
+    """Likelihood of the unit bin around x under a K-component Gaussian
+    mixture: sum_k w_k * (Phi((x+.5-mu_k)/s_k) - Phi((x-.5-mu_k)/s_k)).
+
+    This is the entropy model of the Cheng2020 *paper* (the reference uses
+    CompressAI's single-Gaussian `cheng2020_anchor`/`_attn` weights,
+    task-oriented-PTQ/main2.py:160); provided here so GMM-conditioned
+    variants can be built and quantized. ``scales``/``means``/``weights``
+    carry a trailing mixture axis K relative to ``x``; weights are
+    softmax-normalized over it.
+
+    Unlike the single-Gaussian path, |x-mu| folding is not applicable per
+    component (the bin is centered on x, not on each mean), so upper/lower
+    tails are evaluated signed."""
+    scales = lower_bound(scales, scale_bound)
+    w = jax.nn.softmax(weights, axis=-1)
+    v = x[..., None] - means
+    upper = _std_normal_upper_tail((v - 0.5) / scales)
+    lower = _std_normal_upper_tail((v + 0.5) / scales)
+    lik = jnp.sum(w * (upper - lower), axis=-1)
+    return lower_bound(lik, LIKELIHOOD_BOUND)
+
+
 def gaussian_quantize(x: jax.Array, mode: str,
                       means: Optional[jax.Array] = None,
                       key: Optional[jax.Array] = None) -> jax.Array:
@@ -279,6 +304,7 @@ __all__ = [
     "FactorizedParams", "factorized_init", "factorized_logits",
     "factorized_likelihood", "factorized_medians", "factorized_forward",
     "factorized_aux_loss", "fit_quantiles",
-    "default_scale_table", "gaussian_likelihood", "gaussian_quantize",
+    "default_scale_table", "gaussian_likelihood",
+    "gaussian_mixture_likelihood", "gaussian_quantize",
     "build_indexes",
 ]

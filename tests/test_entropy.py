@@ -7,6 +7,7 @@ import numpy as np
 import scipy.stats
 
 from rdoptq_tpu.ops import entropy
+from rdoptq_tpu.ops import entropy as E
 
 
 def _params(c=4, seed=0):
@@ -119,3 +120,44 @@ def test_lower_bound_gradients():
         jnp.array([0.5]))
     # below bound but gradient pushes value up: passes through
     assert g2[0] == -1.0
+
+
+def test_gmm_reduces_to_single_gaussian():
+    """K=1 mixture == the single-Gaussian likelihood for any weight."""
+    x = jnp.linspace(-4, 4, 33).reshape(1, 33)
+    scales = jnp.full((1, 33), 0.7)
+    means = jnp.full((1, 33), 0.3)
+    single = E.gaussian_likelihood(x, scales, means)
+    mix = E.gaussian_mixture_likelihood(
+        x, scales[..., None], means[..., None], jnp.zeros((1, 33, 1)))
+    assert np.allclose(np.asarray(single), np.asarray(mix), atol=1e-6)
+
+
+def test_gmm_sums_to_one_over_integers():
+    """Mixture bin likelihoods over all integer bins sum to ~1."""
+    key = jax.random.PRNGKey(0)
+    k1, k2, k3 = jax.random.split(key, 3)
+    K = 3
+    means = jax.random.normal(k1, (K,)) * 2.0
+    scales = jnp.exp(jax.random.normal(k2, (K,)) * 0.3)
+    weights = jax.random.normal(k3, (K,))
+    xs = jnp.arange(-60, 61).astype(jnp.float32)
+    lik = E.gaussian_mixture_likelihood(
+        xs, jnp.broadcast_to(scales, (121, K)),
+        jnp.broadcast_to(means, (121, K)),
+        jnp.broadcast_to(weights, (121, K)))
+    assert abs(float(jnp.sum(lik)) - 1.0) < 1e-4
+
+
+def test_gmm_gradients_finite():
+    def loss(s, m, w):
+        x = jnp.zeros((4,))
+        lik = E.gaussian_mixture_likelihood(
+            x, jnp.broadcast_to(s, (4, 2)), jnp.broadcast_to(m, (4, 2)),
+            jnp.broadcast_to(w, (4, 2)))
+        return -jnp.sum(jnp.log2(lik))
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(
+        jnp.array([0.5, 2.0]), jnp.array([-1.0, 1.0]), jnp.array([0.0, 0.5]))
+    for gi in g:
+        assert np.isfinite(np.asarray(gi)).all()
