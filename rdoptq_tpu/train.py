@@ -62,6 +62,9 @@ def _chunk_fn(model, cfg: TrainConfig):
                       optax.adam(cfg.lr))
 
     def loss_fn(params, batch, key):
+        # batches ship uint8 (4x less host->device traffic; the tunnel
+        # transfer dominated chunk latency) and normalize on device
+        batch = batch.astype(jnp.float32) / 255.0
         out = model.forward(params, batch, training=True, key=key)
         d = M.rd_loss(out, batch, cfg.lmbda, cfg.metric)
         return d["loss"], d
@@ -87,8 +90,9 @@ def _chunk_fn(model, cfg: TrainConfig):
 
 def _sample_crops(rng: np.random.Generator, images, n: int, size: int):
     """Random `size`² crops from a list of HWC uint8/float images
-    (the reference's calibration-crop semantics, datasets/dataset.py:8-43)."""
-    out = np.empty((n, size, size, 3), np.float32)
+    (the reference's calibration-crop semantics, datasets/dataset.py:8-43).
+    Returns uint8 — normalization happens on device (see _chunk_fn)."""
+    out = np.empty((n, size, size, 3), np.uint8)
     for i in range(n):
         img = images[rng.integers(len(images))]
         if img.ndim == 4:  # (1, H, W, C) loader convention
@@ -97,7 +101,9 @@ def _sample_crops(rng: np.random.Generator, images, n: int, size: int):
         top = rng.integers(max(h - size, 0) + 1)
         left = rng.integers(max(w - size, 0) + 1)
         crop = img[top:top + size, left:left + size]
-        out[i] = crop if crop.dtype != np.uint8 else crop / 255.0
+        if crop.dtype != np.uint8:  # float [0,1] loader output: 8-bit PNGs
+            crop = np.round(np.clip(crop, 0.0, 1.0) * 255.0)
+        out[i] = crop
     return out
 
 
