@@ -30,14 +30,16 @@ log = logging.getLogger("sweep")
 def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         n_bits_w: int = 8, n_bits_a: int = 8, act_quant: bool = True,
         iters_w: int = 0, test_dir: str = "", ckpt_pattern: str = "",
-        out_path: str = "./results/sweep.json", seed: int = 1005) -> dict:
+        out_path: str = "./results/sweep.json", seed: int = 1005,
+        compute_dtype: str = "float32", remat: bool = False) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
     the full per-unit calibration at each quality."""
     setup_logger(os.path.dirname(out_path) or ".")
     images = datasets.kodak(test_dir or datasets.DEFAULT_KODAK)
     pad = pad_multiple_for(arch)
 
-    anchor, test = {"bpp": [], "psnr": []}, {"bpp": [], "psnr": []}
+    anchor = {"bpp": [], "psnr": [], "msssim_db": []}
+    test = {"bpp": [], "psnr": [], "msssim_db": []}
     per_quality = {}
     for q in qualities:
         model = registry.build_model(arch, q)
@@ -53,6 +55,7 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                   eval_fn=eval_fn, gates=gates_off)
         anchor["bpp"].append(res_fp.bpp)
         anchor["psnr"].append(res_fp.psnr)
+        anchor["msssim_db"].append(res_fp.ms_ssim_db)
 
         leaves = wrap.find_quant_leaves(params)
         wcfg = wrap.WeightQuantConfig(
@@ -66,7 +69,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             t0 = time.time()
             cali = datasets.random_crops(images, 12, 256, seed)
             rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
-                                 act_bits=n_bits_a)
+                                 act_bits=n_bits_a,
+                                 compute_dtype=compute_dtype, remat=remat)
             key = jax.random.PRNGKey(seed)
             cache = rdo.CoderCache(model, params, cali, rcfg, skips)
             for cname in model.calibration_order():
@@ -85,6 +89,7 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                  eval_fn=eval_fn, gates=gates_q)
         test["bpp"].append(res_q.bpp)
         test["psnr"].append(res_q.psnr)
+        test["msssim_db"].append(res_q.ms_ssim_db)
         per_quality[q] = {"fp32": dataclass_row(res_fp),
                           "quant": dataclass_row(res_q),
                           "calibration_seconds": round(calib_s, 1)}
@@ -97,8 +102,14 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                             test["bpp"], test["psnr"])
         out["bd_psnr_db"] = bdrate.bd_psnr(anchor["bpp"], anchor["psnr"],
                                            test["bpp"], test["psnr"])
-        log.info("BD-rate: %.2f%%  BD-PSNR: %.3f dB", out["bd_rate_pct"],
-                 out["bd_psnr_db"])
+        # MS-SSIM BD-rate over -10·log10(1-msssim) curves (the standard
+        # dB mapping the reference's MS-SSIM RD plots use)
+        out["bd_rate_msssim_pct"] = bdrate.bd_rate(
+            anchor["bpp"], anchor["msssim_db"], test["bpp"],
+            test["msssim_db"])
+        log.info("BD-rate: %.2f%%  BD-PSNR: %.3f dB  BD-rate(MS-SSIM): "
+                 "%.2f%%", out["bd_rate_pct"], out["bd_psnr_db"],
+                 out["bd_rate_msssim_pct"])
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
@@ -121,10 +132,15 @@ def main(argv=None):
     p.add_argument("--ckpt_pattern", default="",
                    help="e.g. ckpts/minnen_{quality}.npz")
     p.add_argument("--out", default="./results/sweep.json")
+    p.add_argument("--compute_dtype", default="float32",
+                   help="calibration forward/suffix dtype (bfloat16 for "
+                        "MXU-native deep suffixes, e.g. Lu2022)")
+    p.add_argument("--remat", action="store_true",
+                   help="rematerialize the suffix in the backward pass")
     a = p.parse_args(argv)
     run(a.arch, tuple(int(x) for x in a.qualities.split(",")), a.n_bits_w,
         a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
-        a.out)
+        a.out, compute_dtype=a.compute_dtype, remat=a.remat)
 
 
 if __name__ == "__main__":

@@ -150,6 +150,18 @@ def gdn_init(channels: int) -> Params:
 # ---------------------------------------------------------------------------
 
 
+def _match(x: jax.Array, a: jax.Array) -> jax.Array:
+    """Cast a float parameter to the activation dtype when they differ —
+    makes half-precision serving (params tree-cast to bfloat16) work
+    end-to-end even where an f32 tensor enters the flow (entropy-model
+    internals compute in f32), and vice versa. No-op when dtypes match."""
+    if (jnp.issubdtype(x.dtype, jnp.floating)
+            and jnp.issubdtype(a.dtype, jnp.floating)
+            and a.dtype != x.dtype):
+        return a.astype(x.dtype)
+    return a
+
+
 def _dyn_quant_int8(x: jax.Array):
     """Per-tensor symmetric int8 quantization of activations (dynamic)."""
     s = jnp.maximum(jnp.max(jnp.abs(x)), 1e-8) / 127.0
@@ -183,12 +195,12 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1,
     k = p["w"].shape[0]
     pad = k // 2 if padding is None else padding
     out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(stride, stride),
+        x, _match(x, p["w"]), window_strides=(stride, stride),
         padding=((pad, pad), (pad, pad)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         feature_group_count=groups)
     if "b" in p:
-        out = out + p["b"]
+        out = out + _match(out, p["b"])
     return out
 
 
@@ -222,12 +234,12 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
     pad_lo = k - 1 - k // 2
     pad_hi = pad_lo + stride - 1
     out = jax.lax.conv_general_dilated(
-        x, p["w"], window_strides=(1, 1),
+        x, _match(x, p["w"]), window_strides=(1, 1),
         padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
         lhs_dilation=(stride, stride),
         dimension_numbers=("NHWC", "HWIO", "NHWC"))
     if "b" in p:
-        out = out + p["b"]
+        out = out + _match(out, p["b"])
     return out
 
 
@@ -240,16 +252,17 @@ def linear(p: Params, x: jax.Array) -> jax.Array:
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
     else:
-        out = jnp.einsum("...i,io->...o", x, p["w"])
+        out = jnp.einsum("...i,io->...o", x, _match(x, p["w"]))
     if "b" in p:
-        out = out + p["b"]
+        out = out + _match(out, p["b"])
     return out
 
 
 def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
     mu = jnp.mean(x, axis=-1, keepdims=True)
     var = jnp.var(x, axis=-1, keepdims=True)
-    return (x - mu) * jax.lax.rsqrt(var + eps) * p["scale"] + p["bias"]
+    return ((x - mu) * jax.lax.rsqrt(var + eps) * _match(x, p["scale"])
+            + _match(x, p["bias"]))
 
 
 def gdn(p: Params, x: jax.Array, inverse: bool = False,
@@ -257,8 +270,8 @@ def gdn(p: Params, x: jax.Array, inverse: bool = False,
     """(Inverse) generalized divisive normalization:
     y = x / sqrt(beta + gamma * x²) via a 1x1 conv over channels
     (functional form of the reference's f_gdn, quant_layer.py:142-154)."""
-    gamma = jnp.maximum(p["gamma"], 0.0)
-    beta = jnp.maximum(p["beta"], beta_min)
+    gamma = jnp.maximum(_match(x, p["gamma"]), 0.0)
+    beta = jnp.maximum(_match(x, p["beta"]), beta_min)
     norm = jax.lax.conv_general_dilated(
         x * x, gamma, (1, 1), "VALID",
         dimension_numbers=("NHWC", "HWIO", "NHWC")) + beta

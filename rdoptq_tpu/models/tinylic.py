@@ -388,7 +388,10 @@ class TinyLIC:
         parameters the real codec needs."""
         _, h, w, _ = y.shape
         anchor = checkerboard_anchor_mask(h, w)
-        splits = list(jnp.cumsum(jnp.asarray(self.slices))[:-1])
+        # static Python ints: jnp.cumsum would make the split indices
+        # tracers under jit and jnp.split requires concrete positions
+        splits = [sum(self.slices[:i + 1])
+                  for i in range(len(self.slices) - 1)]
         y_slices = jnp.split(y, splits, axis=-1)
 
         y_hat_slices, y_liks, coding = [], [], []

@@ -1,0 +1,146 @@
+"""Serving benchmark on the real TPU: true-INT8 MXU path vs FP32/BF16.
+
+The reference's INT8 TinyLIC is *slower* than its FP32 model (encode
+0.375 s vs 0.323 s on a 2K image, light-uniform-PTQ/single_test.ipynb
+cells 6/15) because it stores uint8 weights but dequantizes on the fly
+and convolves in float. Here int8 kernels execute on the MXU
+(quant/serve_int8.py), so the INT8 path should be the *fastest*.
+
+Measures, steady-state (post-compile), on a Kodak-size 768x512 input:
+  1. full eval forward wall-clock: fp32 / bf16-cast / int8-serving
+  2. TinyLIC real-codec encode+decode wall-clock: fp32 vs int8-serving
+
+Writes artifacts/serving_bench.json and prints a summary table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+from rdoptq_tpu.coding import codec
+from rdoptq_tpu.eval import datasets
+from rdoptq_tpu.models import registry
+from rdoptq_tpu.ops import entropy as E
+from rdoptq_tpu.quant import serve_int8
+
+REPS = 20
+
+
+def make_scan_fwd(model, k: int):
+    """One jitted program that runs the forward k times and returns a
+    scalar. Per-call wall-clock over the remote-compile tunnel
+    under-reports badly (async dispatch, ~10-50 ms RTT — see CLAUDE.md),
+    so the k-fold loop runs ON DEVICE and we fetch one f32. The input is
+    perturbed by the carry so XLA cannot hoist the loop-invariant forward
+    out of the scan."""
+
+    @jax.jit
+    def f(p, v):
+        def body(c, _):
+            out = model.forward(p, v + c * 1e-20)["x_hat"]
+            return jnp.mean(out.astype(jnp.float32)), None
+
+        s, _ = jax.lax.scan(body, jnp.float32(0), None, length=k)
+        return s
+
+    return f
+
+
+def timed(fn, *args):
+    """Seconds per forward: warm-up (compile), then one timed k-fold
+    device program + scalar fetch."""
+    float(fn(*args))
+    t0 = time.time()
+    float(fn(*args))
+    return (time.time() - t0) / REPS
+
+
+def forward_bench(arch: str, quality: int, x) -> dict:
+    model = registry.build_model(arch, quality)
+    params = jax.device_put(model.init(jax.random.PRNGKey(0)))
+    fwd = make_scan_fwd(model, REPS)
+    res = {"fp32_s": timed(fwd, params, x)}
+
+    try:
+        p_bf16 = jax.tree.map(
+            lambda a: a.astype(jnp.bfloat16)
+            if a.dtype == jnp.float32 else a, params)
+        res["bf16_s"] = timed(fwd, p_bf16, x.astype(jnp.bfloat16))
+    except TypeError as e:  # mixed-dtype model (e.g. TinyLIC ScalingNet)
+        res["bf16_s"] = None
+        res["bf16_note"] = str(e).splitlines()[0]
+
+    p_int8 = serve_int8.int8_serving_params(params)
+    res["int8_s"] = timed(fwd, p_int8, x)
+    res["int8_speedup_vs_fp32"] = res["fp32_s"] / res["int8_s"]
+    return res
+
+
+def codec_bench(image_path: str) -> dict:
+    """TinyLIC real-codec enc/dec wall-clock, fp32 vs int8-serving
+    (mirrors the reference's single_test.py timing protocol: wall-clock
+    around compress()/decompress() including the host rANS)."""
+    model = registry.build_model("TinyLIC", 6)
+    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+
+    img = datasets.load_image(image_path)
+    h, w = img.shape[1], img.shape[2]
+    ph, pw = -(-h // 64) * 64 - h, -(-w // 64) * 64 - w
+    x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+
+    out = {}
+    for tag, p in (("fp32", params),
+                   ("int8", dict(serve_int8.int8_serving_params(params)))):
+        enc = codec.tinylic_compress(model, p, x, tables)  # compile warm-up
+        t0 = time.time()
+        for _ in range(3):
+            enc = codec.tinylic_compress(model, p, x, tables)
+        enc_s = (time.time() - t0) / 3
+        rec = codec.tinylic_decompress(model, p, enc["strings"],
+                                       enc["shape"], tables)
+        t0 = time.time()
+        for _ in range(3):
+            rec = codec.tinylic_decompress(model, p, enc["strings"],
+                                           enc["shape"], tables)
+        dec_s = (time.time() - t0) / 3
+        bits = sum(len(s) for s in enc["strings"]) * 8
+        out[tag] = {"enc_s": round(enc_s, 4), "dec_s": round(dec_s, 4),
+                    "bpp": round(bits / (h * w), 4)}
+    return out
+
+
+def main():
+    x = jnp.asarray(np.random.default_rng(0).random((1, 768, 512, 3),
+                                                    np.float32))
+    x = jax.device_put(x)
+    results = {"input": "768x512", "reps": REPS, "forward": {}}
+    for arch, q in (("Minnen2018", 6), ("TinyLIC", 6)):
+        print(f"== forward bench {arch} q{q}")
+        results["forward"][arch] = forward_bench(arch, q, x)
+        print(json.dumps(results["forward"][arch], indent=2))
+
+    kodim = os.path.join(datasets.DEFAULT_KODAK, "kodim01.png")
+    if os.path.exists(kodim):
+        print("== codec bench TinyLIC (kodim01)")
+        results["codec_tinylic"] = codec_bench(kodim)
+        print(json.dumps(results["codec_tinylic"], indent=2))
+
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/serving_bench.json", "w") as f:
+        json.dump(results, f, indent=2)
+    print("wrote artifacts/serving_bench.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -163,3 +163,31 @@ def test_flops_coder_vs_total_consistency():
     parts = sum(flops.coder_flops(model, params, c, s)
                 for c, s in [("g_a", (1, 64, 64, 3))])
     assert parts < total
+
+
+def test_bf16_serving_forward():
+    """Tree-casting float params to bfloat16 must run end-to-end (layers
+    harmonize parameter dtypes with the activation dtype — entropy-model
+    internals emit f32 into otherwise-bf16 flows) and stay close to the
+    f32 forward."""
+    model = Minnen2018(N=8, M=12)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    ref = model.forward(params, x)["x_hat"]
+    p16 = jax.tree.map(
+        lambda a: a.astype(jnp.bfloat16)
+        if a.dtype == jnp.float32 else a, params)
+    out = jax.jit(lambda p, v: model.forward(p, v)["x_hat"])(
+        p16, x.astype(jnp.bfloat16))
+    assert np.asarray(jnp.abs(out.astype(jnp.float32) - ref)).max() < 0.1
+
+
+def test_tinylic_forward_jittable():
+    """Regression: split indices must be static (jnp.cumsum made them
+    tracers and TinyLIC.forward failed under jit)."""
+    from rdoptq_tpu.models import tinylic as T
+    model = T.TinyLIC(N=8, M=12, slices=(4, 8), depths=(1,) * 6)
+    params = model.init(jax.random.PRNGKey(0))
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = jax.jit(lambda p, v: model.forward(p, v)["x_hat"])(params, x)
+    assert out.shape == x.shape
