@@ -55,9 +55,10 @@ def _dw_conv(p: Dict, x: jax.Array) -> jax.Array:
     kh, kw = p["w"].shape[:2]
     c = x.shape[-1]
     out = jax.lax.conv_general_dilated(
-        x, p["w"], (1, 1), ((kh // 2, kh // 2), (kw // 2, kw // 2)),
+        x, L._match(x, p["w"]), (1, 1),
+        ((kh // 2, kh // 2), (kw // 2, kw // 2)),
         dimension_numbers=("NHWC", "HWIO", "NHWC"), feature_group_count=c)
-    return out + p["b"]
+    return out + L._match(out, p["b"])
 
 
 def inception_dw_init(key, ch: int, branch_ratio: float = 0.125) -> Dict:

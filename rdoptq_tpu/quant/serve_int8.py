@@ -45,6 +45,9 @@ def int8_serving_params(params, skip_subtrees: Tuple[str, ...] = ()):
         w = get_leaf(params, leaf.path)
         if w.ndim not in (2, 4):
             continue
+        if w.ndim == 4 and w.shape[2] == 1 and w.shape[3] > 1:
+            continue  # depthwise kernel (HW1C): custom conv impls read
+            # p["w"] directly, and the FLOPs are negligible anyway
         axis = w.ndim - 1
         red = tuple(i for i in range(w.ndim) if i != axis)
         s_w = jnp.maximum(jnp.max(jnp.abs(w), axis=red), 1e-8) / 127.0

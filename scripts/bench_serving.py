@@ -82,6 +82,57 @@ def forward_bench(arch: str, quality: int, x) -> dict:
     p_int8 = serve_int8.int8_serving_params(params)
     res["int8_s"] = timed(fwd, p_int8, x)
     res["int8_speedup_vs_fp32"] = res["fp32_s"] / res["int8_s"]
+
+    # W8 storage -> bf16 compute: int8 artifact dequantized ONCE at load
+    # (not per forward), tree-cast to bf16 — 4x smaller artifact at bf16
+    # speed (quant/light.dequantized_params + cast_params)
+    try:
+        from rdoptq_tpu.quant import light
+        lq = light.quantize_model(params, light.LightConfig(
+            n_bits=8, channel_wise=True, scale_method="max"))
+        p_w8bf16 = light.cast_params(light.dequantized_params(lq),
+                                     jnp.bfloat16)
+        res["w8_bf16_s"] = timed(fwd, p_w8bf16, x.astype(jnp.bfloat16))
+    except TypeError as e:
+        res["w8_bf16_s"] = None
+        res["w8_bf16_note"] = str(e).splitlines()[0]
+    return res
+
+
+def conv_microbench() -> dict:
+    """Single 5x5 C=192 conv at 384x256 in f32/bf16/int8 — isolates how
+    XLA lowers each dtype to the v5e MXU (scanned on device, REPS times)."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (1, 384, 256, 192), jnp.float32)
+    w = jax.random.normal(key, (5, 5, 192, 192), jnp.float32) * 0.05
+
+    def scan_conv(xv, wv, pet):
+        h = xv.shape[1]
+
+        @jax.jit
+        def f(xx, ww):
+            # pad along H and slice at a per-iteration offset so the conv
+            # is NOT loop-invariant (XLA would hoist it out of the scan)
+            xpad = jnp.concatenate([xx, xx[:, :REPS]], axis=1)
+
+            def body(c, t):
+                xs = jax.lax.dynamic_slice_in_dim(xpad, t, h, axis=1)
+                out = jax.lax.conv_general_dilated(
+                    xs, ww, (1, 1), "SAME",
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                    preferred_element_type=pet)
+                return c + out.astype(jnp.float32).mean(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0),
+                                jnp.arange(REPS))
+            return s
+        return timed(f, xv, wv)
+
+    res = {"f32_s": scan_conv(x, w, jnp.float32),
+           "bf16_s": scan_conv(x.astype(jnp.bfloat16),
+                               w.astype(jnp.bfloat16), jnp.bfloat16)}
+    xi = jnp.clip(jnp.round(x * 4), -127, 127).astype(jnp.int8)
+    wi = jnp.clip(jnp.round(w * 127), -127, 127).astype(jnp.int8)
+    res["int8_s"] = scan_conv(xi, wi, jnp.int32)
     return res
 
 
@@ -125,6 +176,9 @@ def main():
                                                     np.float32))
     x = jax.device_put(x)
     results = {"input": "768x512", "reps": REPS, "forward": {}}
+    print("== conv microbench (5x5 C=192 @ 384x256)")
+    results["conv_microbench"] = conv_microbench()
+    print(json.dumps(results["conv_microbench"], indent=2))
     for arch, q in (("Minnen2018", 6), ("TinyLIC", 6)):
         print(f"== forward bench {arch} q{q}")
         results["forward"][arch] = forward_bench(arch, q, x)
