@@ -41,7 +41,22 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
     anchor = {"bpp": [], "psnr": [], "msssim_db": []}
     test = {"bpp": [], "psnr": [], "msssim_db": []}
     per_quality = {}
+    # per-quality resume file: TPU tunnel faults kill multi-quality runs;
+    # a rerun skips completed qualities (losing at most one calibration)
+    partial_path = out_path + ".partial"
+    if os.path.exists(partial_path):
+        with open(partial_path) as f:
+            per_quality = {int(k): v for k, v in json.load(f).items()}
+        log.info("resuming: qualities %s already done",
+                 sorted(per_quality))
     for q in qualities:
+        if q in per_quality:
+            row = per_quality[q]
+            for dst, src in ((anchor, row["fp32"]), (test, row["quant"])):
+                dst["bpp"].append(src["bpp"])
+                dst["psnr"].append(src["psnr"])
+                dst["msssim_db"].append(src["ms_ssim_db"])
+            continue
         model = registry.build_model(arch, q)
         ckpt = ckpt_pattern.format(quality=q) if ckpt_pattern else ""
         params = registry.load_params(model, arch, ckpt, seed=seed + q)
@@ -93,6 +108,9 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         per_quality[q] = {"fp32": dataclass_row(res_fp),
                           "quant": dataclass_row(res_q),
                           "calibration_seconds": round(calib_s, 1)}
+        os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
+        with open(partial_path, "w") as f:
+            json.dump(per_quality, f)
         log.info("q%d fp32 %s | quant %s", q, res_fp.row(), res_q.row())
 
     out = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
@@ -113,11 +131,14 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
+    if os.path.exists(partial_path):
+        os.remove(partial_path)
     return out
 
 
 def dataclass_row(res) -> dict:
-    return {"psnr": res.psnr, "ms_ssim": res.ms_ssim, "bpp": res.bpp}
+    return {"psnr": res.psnr, "ms_ssim": res.ms_ssim,
+            "ms_ssim_db": res.ms_ssim_db, "bpp": res.bpp}
 
 
 def main(argv=None):
