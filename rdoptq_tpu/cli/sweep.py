@@ -31,7 +31,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         n_bits_w: int = 8, n_bits_a: int = 8, act_quant: bool = True,
         iters_w: int = 0, test_dir: str = "", ckpt_pattern: str = "",
         out_path: str = "./results/sweep.json", seed: int = 1005,
-        compute_dtype: str = "float32", remat: bool = False) -> dict:
+        compute_dtype: str = "float32", remat: bool = False,
+        batch_size: int = 4) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
     the full per-unit calibration at each quality."""
     setup_logger(os.path.dirname(out_path) or ".")
@@ -77,14 +78,26 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             n_bits=n_bits_w, channel_wise=True,
             bit_overrides=policy.first_last_8bit(leaves))
         skips = policy.output_act_skips(model)
-        state = rdo.init_ptq_state(params, wcfg)
+        # per-unit resume snapshot (same mechanism as cli/calibrate's
+        # ptq_state_partial): a device fault mid-calibration loses at
+        # most one unit's optimization on retry
+        snap = f"{out_path}.q{q}.ptq.npz"
+        if iters_w > 0 and os.path.exists(snap):
+            from ..utils import checkpoint
+            state = checkpoint.load_ptq_state(snap)
+            log.info("q%d: resumed %d trained units from %s", q,
+                     len(state.trained_stages), snap)
+        else:
+            state = rdo.init_ptq_state(params, wcfg)
         calib_s = 0.0
         if iters_w > 0:
             import time
+
+            from ..utils import checkpoint
             t0 = time.time()
             cali = datasets.random_crops(images, 12, 256, seed)
             rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
-                                 act_bits=n_bits_a,
+                                 act_bits=n_bits_a, batch_size=batch_size,
                                  compute_dtype=compute_dtype, remat=remat)
             key = jax.random.PRNGKey(seed)
             cache = rdo.CoderCache(model, params, cali, rcfg, skips)
@@ -92,8 +105,11 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                 coder = model.coders[cname]
                 for k in range(len(coder.stages)):
                     key, sub = jax.random.split(key)
+                    if coder.stages[k].name in state.trained_stages:
+                        continue  # resumed
                     rdo.calibrate_unit(model, params, state, coder, k,
                                        cali, rcfg, skips, sub, cache)
+                    checkpoint.save_ptq_state(snap, state)
             calib_s = time.time() - t0
             log.info("q%d calibration wall-clock: %.1fs", q, calib_s)
         params_q = state.quantized_params(params, untrained="nearest")
@@ -111,6 +127,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
         with open(partial_path, "w") as f:
             json.dump(per_quality, f)
+        if os.path.exists(snap):
+            os.remove(snap)
         log.info("q%d fp32 %s | quant %s", q, res_fp.row(), res_q.row())
 
     out = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
@@ -158,10 +176,14 @@ def main(argv=None):
                         "MXU-native deep suffixes, e.g. Lu2022)")
     p.add_argument("--remat", action="store_true",
                    help="rematerialize the suffix in the backward pass")
+    p.add_argument("--batch_size", type=int, default=4,
+                   help="calibration step batch (reference default 4; "
+                        "smaller shrinks the suffix working set)")
     a = p.parse_args(argv)
     run(a.arch, tuple(int(x) for x in a.qualities.split(",")), a.n_bits_w,
         a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
-        a.out, compute_dtype=a.compute_dtype, remat=a.remat)
+        a.out, compute_dtype=a.compute_dtype, remat=a.remat,
+        batch_size=a.batch_size)
 
 
 if __name__ == "__main__":

@@ -26,14 +26,17 @@ read -r -a EXTRA <<< "${SWEEP_FLAGS:-}"
 # at most one quality's calibration lost. Training is retried likewise
 # (it restarts the current quality; finished anchors are skipped).
 retry() {  # retry <max> <cmd...>
+  # Each attempt is bounded: some device faults HANG the client instead
+  # of raising, which would stall the loop forever. Per-unit/per-quality
+  # resume makes a timeout kill cheap (at most one unit redone).
   local max="$1" n=1; shift
-  until "$@"; do
+  until timeout --signal=KILL "${ATTEMPT_TIMEOUT:-1500}" "$@"; do
     if (( n >= max )); then
       echo "== FAILED after $n attempts: $*" >&2; return 1
     fi
     n=$((n + 1))
     echo "== attempt $n/$max (waiting for device recovery): $*" >&2
-    sleep 300
+    sleep 240
   done
 }
 QUALITIES=(3 4 5 6)
@@ -50,7 +53,7 @@ for i in "${!QUALITIES[@]}"; do
     continue
   fi
   echo "== training $ARCH q$q (lambda=$lam, $STEPS steps)"
-  retry 8 python -m rdoptq_tpu.cli.train --arch "$ARCH" --quality "$q" \
+  ATTEMPT_TIMEOUT=5400 retry 8 python -m rdoptq_tpu.cli.train --arch "$ARCH" --quality "$q" \
     --lmbda "$lam" --steps "$STEPS" --out "$ckpt"
 done
 
