@@ -1,9 +1,9 @@
 """Headline benchmark, run on real TPU hardware by the driver.
 
-Round-1 metric: one-shot light INT8 quantization wall-clock for a
-quality-6 LIC model (the counterpart of the reference's 5.16 s one-shot
-INT8 conversion on a CUDA GPU, light-uniform-PTQ/reults/tinylic/logs/
-20230926_035928.log:5). Steady-state (post-compile) timing — the one-shot
+Metric: one-shot light INT8 quantization wall-clock for TinyLIC — the
+SAME model the reference's 5.16 s one-shot INT8 conversion measures on a
+CUDA GPU (light-uniform-PTQ/reults/tinylic/logs/20230926_035928.log:5,
+quantize.py:116-157). Steady-state (post-compile) timing — the one-shot
 PTQ is a single fused XLA program here, so after the first trace the whole
 conversion is one device dispatch.
 
@@ -23,10 +23,10 @@ BASELINE_ONE_SHOT_S = 5.16  # reference one-shot INT8 wall-clock (CUDA GPU)
 
 
 def main():
-    from rdoptq_tpu.models.minnen2018 import minnen2018
+    from rdoptq_tpu.models.tinylic import tinylic
     from rdoptq_tpu.quant import light
 
-    model = minnen2018(quality=6)  # N=192, M=320 — ~26M params
+    model = tinylic()  # the reference's light-PTQ model (~18M params)
     params = model.init(jax.random.PRNGKey(0))
     params = jax.device_put(params)
     jax.block_until_ready(params)
@@ -48,7 +48,7 @@ def main():
     value = min(times)
 
     n_leaves = len(lq.int_weights)
-    print(f"[bench] flagship=minnen2018(q6) leaves={n_leaves} "
+    print(f"[bench] model=tinylic leaves={n_leaves} "
           f"compile={compile_s:.2f}s runs={['%.3f' % t for t in times]}",
           file=sys.stderr)
     print(json.dumps({

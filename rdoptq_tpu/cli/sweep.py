@@ -2,10 +2,14 @@
 compute the Bjøntegaard deltas.
 
 The TPU-native equivalent of the reference's notebook sweep
-(test_datasets.ipynb cells 12-26 feeding BD-rate.py). Run:
+(test_datasets.ipynb cells 12-26 feeding BD-rate.py). Calibration crops
+come from a SEPARATE directory (reference: `c_data: clic41`,
+task-oriented-PTQ/config.yaml:58-61) so the evaluation sets stay held
+out. Run:
 
     python -m rdoptq_tpu.cli.sweep --arch Cheng2020 --n_bits_w 8 \
-        --qualities 1,2,3,4,5,6
+        --qualities 1,2,3,4,5,6 \
+        --extra_eval tecnick=/data/tecnick,clic=/data/clic
 """
 
 from __future__ import annotations
@@ -26,37 +30,105 @@ from .calibrate import pad_multiple_for
 
 log = logging.getLogger("sweep")
 
+# the reference calibrates on CLIC41 crops (config.yaml:60 `c_data:
+# clic41`, datasets/dataset.py:8-55); the checkout ships the assets
+DEFAULT_CALIB_DIR = "/root/reference/task-oriented-PTQ/datasets/clic41"
+
+
+def _atomic_json(path: str, obj) -> None:
+    """SIGKILL-safe write (the repro script's retry loop kills attempts;
+    a truncated partial must not poison every later resume)."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)
+
+
+def _load_partial(path: str, config: dict):
+    """Load a resume file, validating that it was produced by the same
+    sweep configuration (a stale partial from a differently-parameterized
+    run must not be merged into this run's artifact)."""
+    try:
+        with open(path) as f:
+            obj = json.load(f)
+    except (OSError, ValueError) as e:
+        log.warning("ignoring unreadable partial %s: %s", path, e)
+        return {}, {}
+    if not isinstance(obj, dict) or obj.get("config") != config:
+        log.warning("ignoring partial %s: config mismatch (%s != %s)",
+                    path, obj.get("config") if isinstance(obj, dict)
+                    else type(obj), config)
+        return {}, {}
+    per_quality = {int(k): v for k, v in obj.get("per_quality", {}).items()}
+    anchors = {int(k): v for k, v in obj.get("anchors", {}).items()}
+    return per_quality, anchors
+
+
+def _bd_block(anchor_rows, test_rows) -> dict:
+    """BD metrics from lists of {psnr, ms_ssim_db, bpp} rows."""
+    ab = [r["bpp"] for r in anchor_rows]
+    ap = [r["psnr"] for r in anchor_rows]
+    tb = [r["bpp"] for r in test_rows]
+    tp = [r["psnr"] for r in test_rows]
+    return {
+        "bd_rate_pct": bdrate.bd_rate(ab, ap, tb, tp),
+        "bd_psnr_db": bdrate.bd_psnr(ab, ap, tb, tp),
+        # MS-SSIM BD-rate over -10·log10(1-msssim) curves (the standard
+        # dB mapping the reference's MS-SSIM RD plots use)
+        "bd_rate_msssim_pct": bdrate.bd_rate(
+            ab, [r["ms_ssim_db"] for r in anchor_rows],
+            tb, [r["ms_ssim_db"] for r in test_rows]),
+    }
+
 
 def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         n_bits_w: int = 8, n_bits_a: int = 8, act_quant: bool = True,
         iters_w: int = 0, test_dir: str = "", ckpt_pattern: str = "",
         out_path: str = "./results/sweep.json", seed: int = 1005,
         compute_dtype: str = "float32", remat: bool = False,
-        batch_size: int = 4) -> dict:
+        batch_size: int = 4, calib_dir: str = DEFAULT_CALIB_DIR,
+        extra_eval=()) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
-    the full per-unit calibration at each quality."""
+    the full per-unit calibration at each quality. ``extra_eval`` is a
+    sequence of (name, directory) evaluation sets beyond the main one
+    (reference: Kodak + Tecnick100 + CLIC, test_datasets.ipynb cells
+    13-14, 21-22)."""
     setup_logger(os.path.dirname(out_path) or ".")
     images = datasets.kodak(test_dir or datasets.DEFAULT_KODAK)
+    extra_images = {name: datasets.load_dir(d) for name, d in extra_eval}
+    calib_images = datasets.load_dir(calib_dir) if iters_w > 0 else []
     pad = pad_multiple_for(arch)
 
-    anchor = {"bpp": [], "psnr": [], "msssim_db": []}
-    test = {"bpp": [], "psnr": [], "msssim_db": []}
-    per_quality = {}
+    config = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
+              "iters_w": iters_w, "act_quant": act_quant,
+              "batch_size": batch_size, "compute_dtype": compute_dtype}
     # per-quality resume file: TPU tunnel faults kill multi-quality runs;
-    # a rerun skips completed qualities (losing at most one calibration)
+    # a rerun skips completed qualities (losing at most one calibration).
+    # `anchors` persists the FP32 eval per quality so a mid-calibration
+    # retry skips straight to calibration.
     partial_path = out_path + ".partial"
+    per_quality, anchors = {}, {}
     if os.path.exists(partial_path):
-        with open(partial_path) as f:
-            per_quality = {int(k): v for k, v in json.load(f).items()}
-        log.info("resuming: qualities %s already done",
-                 sorted(per_quality))
+        per_quality, anchors = _load_partial(partial_path, config)
+        dropped = sorted(q for q in per_quality if q not in qualities)
+        if dropped:
+            log.info("partial has qualities %s outside requested %s: "
+                     "dropped from this artifact", dropped, list(qualities))
+            per_quality = {q: v for q, v in per_quality.items()
+                           if q in qualities}
+        if per_quality:
+            log.info("resuming: qualities %s already done",
+                     sorted(per_quality))
+
+    def save_partial():
+        _atomic_json(partial_path, {
+            "config": config,
+            "per_quality": per_quality,
+            "anchors": anchors,
+        })
+
     for q in qualities:
         if q in per_quality:
-            row = per_quality[q]
-            for dst, src in ((anchor, row["fp32"]), (test, row["quant"])):
-                dst["bpp"].append(src["bpp"])
-                dst["psnr"].append(src["psnr"])
-                dst["msssim_db"].append(src["ms_ssim_db"])
             continue
         model = registry.build_model(arch, q)
         ckpt = ckpt_pattern.format(quality=q) if ckpt_pattern else ""
@@ -67,11 +139,28 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                              n_bits_a)
         gates_off = harness.stage_gates(model, ())
 
-        res_fp = harness.evaluate(model, params, images, pad_multiple=pad,
-                                  eval_fn=eval_fn, gates=gates_off)
-        anchor["bpp"].append(res_fp.bpp)
-        anchor["psnr"].append(res_fp.psnr)
-        anchor["msssim_db"].append(res_fp.ms_ssim_db)
+        def eval_all(params_x, gates, label):
+            rows = {}
+            res = harness.evaluate(model, params_x, images,
+                                   pad_multiple=pad, eval_fn=eval_fn,
+                                   gates=gates)
+            rows["main"] = dataclass_row(res)
+            for name, imgs in extra_images.items():
+                r = harness.evaluate(model, params_x, imgs,
+                                     pad_multiple=pad, eval_fn=eval_fn,
+                                     gates=gates)
+                rows[name] = dataclass_row(r)
+                log.info("q%d %s [%s] %s", q, label, name, r.row())
+            log.info("q%d %s [main] %s", q, label, res.row())
+            return rows
+
+        if q in anchors:
+            fp_rows = anchors[q]
+            log.info("q%d: resumed fp32 anchor eval", q)
+        else:
+            fp_rows = eval_all(params, gates_off, "fp32")
+            anchors[q] = fp_rows
+            save_partial()
 
         leaves = wrap.find_quant_leaves(params)
         wcfg = wrap.WeightQuantConfig(
@@ -82,12 +171,17 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         # ptq_state_partial): a device fault mid-calibration loses at
         # most one unit's optimization on retry
         snap = f"{out_path}.q{q}.ptq.npz"
+        state = None
         if iters_w > 0 and os.path.exists(snap):
             from ..utils import checkpoint
-            state = checkpoint.load_ptq_state(snap)
-            log.info("q%d: resumed %d trained units from %s", q,
-                     len(state.trained_stages), snap)
-        else:
+            try:
+                state = checkpoint.load_ptq_state(snap)
+                log.info("q%d: resumed %d trained units from %s", q,
+                         len(state.trained_stages), snap)
+            except Exception as e:  # truncated by a SIGKILL mid-write
+                log.warning("q%d: snapshot %s unreadable (%s): starting "
+                            "fresh", q, snap, e)
+        if state is None:
             state = rdo.init_ptq_state(params, wcfg)
         calib_s = 0.0
         if iters_w > 0:
@@ -95,7 +189,7 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
 
             from ..utils import checkpoint
             t0 = time.time()
-            cali = datasets.random_crops(images, 12, 256, seed)
+            cali = datasets.random_crops(calib_images, 12, 256, seed)
             rcfg = rdo.RDOConfig(iters=iters_w, act_quant=act_quant,
                                  act_bits=n_bits_a, batch_size=batch_size,
                                  compute_dtype=compute_dtype, remat=remat)
@@ -116,36 +210,37 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         stages_on = [st.name for c in model.coders.values()
                      for st in c.stages] if act_quant else []
         gates_q = harness.stage_gates(model, stages_on)
-        res_q = harness.evaluate(model, params_q, images, pad_multiple=pad,
-                                 eval_fn=eval_fn, gates=gates_q)
-        test["bpp"].append(res_q.bpp)
-        test["psnr"].append(res_q.psnr)
-        test["msssim_db"].append(res_q.ms_ssim_db)
-        per_quality[q] = {"fp32": dataclass_row(res_fp),
-                          "quant": dataclass_row(res_q),
+        q_rows = eval_all(params_q, gates_q, "quant")
+        per_quality[q] = {"fp32": fp_rows["main"], "quant": q_rows["main"],
+                          "extra": {name: {"fp32": fp_rows[name],
+                                           "quant": q_rows[name]}
+                                    for name in extra_images},
                           "calibration_seconds": round(calib_s, 1)}
         os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
-        with open(partial_path, "w") as f:
-            json.dump(per_quality, f)
+        save_partial()
         if os.path.exists(snap):
             os.remove(snap)
-        log.info("q%d fp32 %s | quant %s", q, res_fp.row(), res_q.row())
 
     out = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
-           "per_quality": per_quality}
-    if len(qualities) >= 4:
-        out["bd_rate_pct"] = bdrate.bd_rate(anchor["bpp"], anchor["psnr"],
-                                            test["bpp"], test["psnr"])
-        out["bd_psnr_db"] = bdrate.bd_psnr(anchor["bpp"], anchor["psnr"],
-                                           test["bpp"], test["psnr"])
-        # MS-SSIM BD-rate over -10·log10(1-msssim) curves (the standard
-        # dB mapping the reference's MS-SSIM RD plots use)
-        out["bd_rate_msssim_pct"] = bdrate.bd_rate(
-            anchor["bpp"], anchor["msssim_db"], test["bpp"],
-            test["msssim_db"])
+           "per_quality": per_quality,
+           "provenance": {"ckpt_pattern": ckpt_pattern,
+                          "calib_dir": calib_dir if iters_w > 0 else "",
+                          "eval_dir": test_dir or datasets.DEFAULT_KODAK,
+                          "extra_eval": {n: d for n, d in extra_eval},
+                          **config}}
+    qs = sorted(per_quality)
+    if len(qs) >= 4:
+        out.update(_bd_block([per_quality[q]["fp32"] for q in qs],
+                             [per_quality[q]["quant"] for q in qs]))
         log.info("BD-rate: %.2f%%  BD-PSNR: %.3f dB  BD-rate(MS-SSIM): "
                  "%.2f%%", out["bd_rate_pct"], out["bd_psnr_db"],
                  out["bd_rate_msssim_pct"])
+        for name in extra_images:
+            out[f"bd_{name}"] = _bd_block(
+                [per_quality[q]["extra"][name]["fp32"] for q in qs],
+                [per_quality[q]["extra"][name]["quant"] for q in qs])
+            log.info("BD-rate[%s]: %.2f%%", name,
+                     out[f"bd_{name}"]["bd_rate_pct"])
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)
     with open(out_path, "w") as f:
         json.dump(out, f, indent=2)
@@ -159,6 +254,19 @@ def dataclass_row(res) -> dict:
             "ms_ssim_db": res.ms_ssim_db, "bpp": res.bpp}
 
 
+def parse_extra_eval(spec: str):
+    """``name=dir,name=dir`` -> ((name, dir), ...)."""
+    if not spec:
+        return ()
+    out = []
+    for part in spec.split(","):
+        name, _, d = part.partition("=")
+        if not d:
+            raise ValueError(f"--extra_eval needs name=dir, got {part!r}")
+        out.append((name, d))
+    return tuple(out)
+
+
 def main(argv=None):
     p = argparse.ArgumentParser(description=__doc__)
     p.add_argument("--arch", default="Cheng2020")
@@ -168,6 +276,10 @@ def main(argv=None):
     p.add_argument("--act_quant", action="store_true")
     p.add_argument("--iters_w", type=int, default=0)
     p.add_argument("--test_dir", default="")
+    p.add_argument("--calib_dir", default=DEFAULT_CALIB_DIR,
+                   help="calibration-crop source (reference: clic41)")
+    p.add_argument("--extra_eval", default="",
+                   help="extra eval sets, e.g. tecnick=/d/tecnick,clic=/d/clic")
     p.add_argument("--ckpt_pattern", default="",
                    help="e.g. ckpts/minnen_{quality}.npz")
     p.add_argument("--out", default="./results/sweep.json")
@@ -183,7 +295,8 @@ def main(argv=None):
     run(a.arch, tuple(int(x) for x in a.qualities.split(",")), a.n_bits_w,
         a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
         a.out, compute_dtype=a.compute_dtype, remat=a.remat,
-        batch_size=a.batch_size)
+        batch_size=a.batch_size, calib_dir=a.calib_dir,
+        extra_eval=parse_extra_eval(a.extra_eval))
 
 
 if __name__ == "__main__":

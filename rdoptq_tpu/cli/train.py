@@ -30,6 +30,10 @@ def main(argv=None):
     p.add_argument("--arch", default="Minnen2018")
     p.add_argument("--quality", type=int, default=6)
     p.add_argument("--lmbda", type=float, default=0.0483)
+    p.add_argument("--lambdas", default="",
+                   help="comma list for variable-rate training of "
+                        "λ-conditioned models (TinyLIC): one parameter "
+                        "set trained under every λ")
     p.add_argument("--metric", default="mse", choices=["mse", "ms-ssim"])
     p.add_argument("--steps", type=int, default=2000)
     p.add_argument("--batch_size", type=int, default=8)
@@ -55,7 +59,11 @@ def main(argv=None):
                         patch_size=args.patch_size, lr=args.lr,
                         lmbda=args.lmbda, metric=args.metric,
                         chunk=args.chunk, seed=args.seed)
-    res = T.train(model, params, images, cfg)
+    if args.lambdas:
+        lams = [float(v) for v in args.lambdas.split(",")]
+        res = T.train_variable_rate(model, params, images, cfg, lams)
+    else:
+        res = T.train(model, params, images, cfg)
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
     checkpoint.save_pytree(args.out, res["params"])
     hist = res["history"]

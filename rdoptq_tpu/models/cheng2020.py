@@ -93,10 +93,21 @@ class Cheng2020:
 
     ``attention=True`` builds the cheng2020_attn variant (the paper's full
     model: simplified non-local attention after the 4x-downsample stage and
-    at both latent ends, CompressAI Cheng2020Attention)."""
+    at both latent ends, CompressAI Cheng2020Attention).
+
+    ``K>1`` conditions the latent on a K-component Gaussian MIXTURE — the
+    entropy model of the Cheng2020 *paper* (discretized GMM, K=3; the
+    reference quantizes CompressAI's single-Gaussian ``cheng2020_anchor``
+    weights instead, main2.py:160). The entropy-parameter head then emits
+    3·K·N channels (per-component scale/mean/logit). The fake-quant
+    likelihood path — what every BD-rate table measures — supports GMM
+    end-to-end; the rANS codec tables stay single-Gaussian (a GMM
+    bitstream needs per-pixel CDF construction, which the reference never
+    implements either)."""
 
     N: int = 192
     attention: bool = False
+    K: int = 1  # mixture components (1 = mean-scale single Gaussian)
 
     def init(self, key: jax.Array) -> Dict:
         ks = list(jax.random.split(key, 40))
@@ -148,7 +159,9 @@ class Cheng2020:
             "ep": {
                 "conv0": L.conv_init(next(k), 1, N * 12 // 3, N * 10 // 3),
                 "conv1": L.conv_init(next(k), 1, N * 10 // 3, N * 8 // 3),
-                "conv2": L.conv_init(next(k), 1, N * 8 // 3, N * 6 // 3),
+                "conv2": L.conv_init(next(k), 1, N * 8 // 3,
+                                     3 * self.K * N if self.K > 1
+                                     else N * 6 // 3),
             },
             "eb": E.factorized_init(next(k), N),
         }
@@ -260,8 +273,18 @@ class Cheng2020:
         y_hat = (E.quantize_noise(y, k2) if training else E.quantize_ste(y))
         ctx_p = run(self.context, y_hat)
         gp = run(self.ep, jnp.concatenate([hyper, ctx_p], axis=-1))
-        scales, means = jnp.split(gp, 2, axis=-1)
-        y_lik = E.gaussian_likelihood(y, scales, means)
+        if self.K > 1:
+            # 3 heads of K*N channels -> (..., N, K) mixture axes
+            def mix(v):
+                s = v.shape[:-1] + (self.K, self.N)
+                return jnp.swapaxes(v.reshape(s), -1, -2)
+
+            scales, means, logits = (mix(v) for v in
+                                     jnp.split(gp, 3, axis=-1))
+            y_lik = E.gaussian_mixture_likelihood(y, scales, means, logits)
+        else:
+            scales, means = jnp.split(gp, 2, axis=-1)
+            y_lik = E.gaussian_likelihood(y, scales, means)
         x_hat = run(self.g_s, y_hat)
         return {"x_hat": x_hat,
                 "likelihoods": {"y": y_lik, "z": z_lik},
@@ -287,3 +310,12 @@ def cheng2020_attn(quality: int = 6) -> Cheng2020:
     if not 1 <= quality <= 6:
         raise ValueError("quality must be in 1..6")
     return Cheng2020(N=128 if quality <= 3 else 192, attention=True)
+
+
+def cheng2020_gmm(quality: int = 6, K: int = 3) -> Cheng2020:
+    """The Cheng2020 paper's full configuration: attention + K-component
+    discretized Gaussian-mixture entropy model (BASELINE.json's
+    'Cheng2020 GMM+attention')."""
+    if not 1 <= quality <= 6:
+        raise ValueError("quality must be in 1..6")
+    return Cheng2020(N=128 if quality <= 3 else 192, attention=True, K=K)

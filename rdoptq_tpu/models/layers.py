@@ -169,6 +169,25 @@ def _dyn_quant_int8(x: jax.Array):
     return xi, s
 
 
+def _quant_in_int8(p: Params, x: jax.Array):
+    """Activation quantization for an int8-kernel node. A calibrated
+    static scale (``s_x``, quant.serve_int8.calibrate_act_scales) skips
+    the dynamic abs-max reduction — one fewer full-tensor HBM pass per
+    conv, which is what made dynamic-int8 serving slower than f32."""
+    if "s_x" in p:
+        s = p["s_x"]
+        return jnp.clip(jnp.round(x / s), -127, 127).astype(jnp.int8), s
+    return _dyn_quant_int8(x)
+
+
+# Eager-mode activation probe used by serve_int8.calibrate_act_scales:
+# when set to a callable, quantizable float-kernel layers report their
+# input tensors as ``probe(node_dict, x)``. Never active under jit (the
+# calibration forward runs eagerly) — pure-function semantics of the
+# layer library are unchanged for every traced path.
+_ACT_PROBE = None
+
+
 def conv2d(p: Params, x: jax.Array, stride: int = 1,
            padding: Optional[int] = None, groups: int = 1) -> jax.Array:
     """2D convolution, NHWC x HWIO. ``padding=None`` -> torch-style
@@ -181,7 +200,7 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1,
     if "w_int8" in p:
         k = p["w_int8"].shape[0]
         pad = k // 2 if padding is None else padding
-        xi, s_x = _dyn_quant_int8(x)
+        xi, s_x = _quant_in_int8(p, x)
         acc = jax.lax.conv_general_dilated(
             xi, p["w_int8"], window_strides=(stride, stride),
             padding=((pad, pad), (pad, pad)),
@@ -192,6 +211,8 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1,
         if "b" in p:
             out = out + p["b"]
         return out
+    if _ACT_PROBE is not None:
+        _ACT_PROBE(p, x)
     k = p["w"].shape[0]
     pad = k // 2 if padding is None else padding
     out = jax.lax.conv_general_dilated(
@@ -219,7 +240,7 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
         k = p["w_int8"].shape[0]
         pad_lo = k - 1 - k // 2
         pad_hi = pad_lo + stride - 1
-        xi, s_x = _dyn_quant_int8(x)
+        xi, s_x = _quant_in_int8(p, x)
         acc = jax.lax.conv_general_dilated(
             xi, p["w_int8"], window_strides=(1, 1),
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),
@@ -230,6 +251,8 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
         if "b" in p:
             out = out + p["b"]
         return out
+    if _ACT_PROBE is not None:
+        _ACT_PROBE(p, x)
     k = p["w"].shape[0]
     pad_lo = k - 1 - k // 2
     pad_hi = pad_lo + stride - 1
@@ -245,13 +268,15 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
 
 def linear(p: Params, x: jax.Array) -> jax.Array:
     if "w_int8" in p:
-        xi, s_x = _dyn_quant_int8(x)
+        xi, s_x = _quant_in_int8(p, x)
         acc = jax.lax.dot_general(
             xi, p["w_int8"],
             dimension_numbers=(((x.ndim - 1,), (0,)), ((), ())),
             preferred_element_type=jnp.int32)
         out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
     else:
+        if _ACT_PROBE is not None:
+            _ACT_PROBE(p, x)
         out = jnp.einsum("...i,io->...o", x, _match(x, p["w"]))
     if "b" in p:
         out = out + _match(out, p["b"])

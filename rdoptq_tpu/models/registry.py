@@ -16,14 +16,15 @@ import jax
 
 from ..utils import checkpoint as ckpt
 from ..utils import torch_convert
-from .cheng2020 import cheng2020, cheng2020_attn
+from .cheng2020 import cheng2020, cheng2020_attn, cheng2020_gmm
 from .lu2022 import lu2022
 from .minnen2018 import minnen2018
 from .tinylic import tinylic
 
 log = logging.getLogger(__name__)
 
-ARCHS = ("Minnen2018", "Cheng2020", "Cheng2020Attn", "Lu2022", "TinyLIC")
+ARCHS = ("Minnen2018", "Cheng2020", "Cheng2020Attn", "Cheng2020GMM",
+         "Lu2022", "TinyLIC")
 
 
 def build_model(arch: str, quality: int = 6, lam: Optional[float] = None):
@@ -33,6 +34,8 @@ def build_model(arch: str, quality: int = 6, lam: Optional[float] = None):
         return cheng2020(quality)
     if arch == "Cheng2020Attn":
         return cheng2020_attn(quality)
+    if arch == "Cheng2020GMM":
+        return cheng2020_gmm(quality)
     if arch == "Lu2022":
         return lu2022(quality)
     if arch == "TinyLIC":

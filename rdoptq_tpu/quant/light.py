@@ -57,54 +57,106 @@ class LightQuantized:
     cfg: LightConfig
 
 
-def _quantize_all(params, leaves, cfg: LightConfig):
-    """Jittable core: scale-init + integer conversion for every leaf as
-    ONE fused device computation (the whole one-shot PTQ is a single XLA
-    program — no per-layer Python round trips)."""
-    wcfg = wrap.WeightQuantConfig(n_bits=cfg.n_bits,
-                                  channel_wise=cfg.channel_wise,
-                                  scale_method=cfg.scale_method)
-    leaves = tuple(l for l in leaves
-                   if not l.path.split("/", 1)[0] in cfg.skip_subtrees)
-    qstate = wrap.init_weight_qstate(params, leaves, wcfg)
-    int_weights, int_biases, bias_scales = {}, {}, {}
-    for leaf in leaves:
-        w = get_leaf(params, leaf.path)
-        qp = qstate[leaf.path]
-        int_weights[leaf.path] = Q.quantize(w, qp, cfg.n_bits,
-                                            dtype=jnp.uint8)
-        if not cfg.channel_wise:
-            # layer-wise path: bias rescaled by s_w and stored int16
-            # (quant_int/quant_layer.py:84-97)
-            bias_path = leaf.path.rsplit("/", 1)[0] + "/b"
-            try:
-                b = get_leaf(params, bias_path)
-            except (KeyError, TypeError):
-                continue
-            bqp = Q.init_scale(b, cfg.bias_bits, cfg.scale_method)
-            b_int = Q.quantize(b, bqp, cfg.bias_bits).astype(jnp.float32)
-            b_int = jnp.round((b_int - bqp.zero_point) / qp.delta
-                              * bqp.delta)
-            int_biases[bias_path] = jnp.clip(b_int, -32768, 32767
-                                             ).astype(jnp.int16)
-            bias_scales[bias_path] = qp.delta
-    return int_weights, qstate, int_biases, bias_scales
+import functools as _ft
+
+
+@_ft.lru_cache(maxsize=16)
+def _packed_quant_fn(spec, method: str):
+    """ONE jitted program for the whole one-shot conversion: same-shaped
+    leaves run as a vmapped subgraph (compile time scales with unique
+    shapes — TinyLIC: 41 vs 263 leaves; a flat per-leaf program takes
+    tens of minutes to compile over the remote tunnel), and the integer
+    artifact comes back as 3 flat buffers — one dispatch, one
+    device->host transfer (per-leaf transfers are ~10-50 ms RTT each)."""
+
+    def compute(params):
+        fw, fd, fz = [], [], []
+        for paths, bits, axis in spec:
+            ws = jnp.stack([get_leaf(params, p) for p in paths])
+
+            def one(w, bits=bits, axis=axis):
+                if axis is not None:
+                    qp = Q.init_scale_channelwise(w, bits, method, False,
+                                                  axis)
+                else:
+                    qp = Q.init_scale(w.ravel(), bits, method, False)
+                return Q.quantize(w, qp, bits, dtype=jnp.uint8), qp
+
+            w_int, qp = jax.vmap(one)(ws)
+            fw.append(w_int.ravel())
+            fd.append(qp.delta.ravel().astype(jnp.float32))
+            fz.append(qp.zero_point.ravel().astype(jnp.float32))
+        return (jnp.concatenate(fw), jnp.concatenate(fd),
+                jnp.concatenate(fz))
+
+    return jax.jit(compute)
+
+
+@_ft.partial(jax.jit, static_argnums=(2,))
+def _bias_int16(b, w_delta, bits: int = 16):
+    """Layer-wise path: bias rescaled by s_w and stored int16
+    (quant_int/quant_layer.py:84-97)."""
+    bqp = Q.init_scale(b, bits, "max")
+    b_int = Q.quantize(b, bqp, bits).astype(jnp.float32)
+    b_int = jnp.round((b_int - bqp.zero_point) / w_delta * bqp.delta)
+    return jnp.clip(b_int, -32768, 32767).astype(jnp.int16)
 
 
 def quantize_model(params, cfg: LightConfig = LightConfig()
                    ) -> LightQuantized:
     """One-shot conversion (the reference's `quantize_int8`,
     quantize.py:116-157, minus the warm-up forward — scales come directly
-    from the weights in one jitted program)."""
-    leaves = wrap.find_quant_leaves(params)
-    compute = jax.jit(lambda p: _quantize_all(p, leaves, cfg))
-    int_w, qstate, int_b, b_scales = compute(params)
+    from the weights, one fused program per unique leaf shape)."""
+    wcfg = wrap.WeightQuantConfig(n_bits=cfg.n_bits,
+                                  channel_wise=cfg.channel_wise,
+                                  scale_method=cfg.scale_method)
+    leaves = tuple(l for l in wrap.find_quant_leaves(params)
+                   if not l.path.split("/", 1)[0] in cfg.skip_subtrees)
+    groups = wrap.group_leaves(params, leaves, wcfg)
+    spec = tuple((tuple(paths), bits, axis)
+                 for (shape, _, bits, axis), paths in groups.items())
+    fw, fd, fz = jax.device_get(
+        _packed_quant_fn(spec, cfg.scale_method)(params))
 
-    # one batched device->host transfer for the whole integer artifact
-    int_weights, int_biases = jax.device_get((int_w, int_b))
+    int_w, qstate = {}, {}
+    ow = od = 0
+    for (shape, _, bits, axis), paths in groups.items():
+        qshape = wrap.leaf_qp_shape(shape, axis)
+        wn = int(np.prod(shape, dtype=np.int64))
+        qn = int(np.prod(qshape, dtype=np.int64)) if qshape else 1
+        for p in paths:
+            int_w[p] = fw[ow:ow + wn].reshape(shape)
+            qstate[p] = Q.QParams(fd[od:od + qn].reshape(qshape),
+                                  fz[od:od + qn].reshape(qshape))
+            ow += wn
+            od += qn
+
+    int_biases, b_scales = {}, {}
+    if not cfg.channel_wise:
+        bias_items = []
+        for leaf in leaves:
+            bias_path = leaf.path.rsplit("/", 1)[0] + "/b"
+            try:
+                b = get_leaf(params, bias_path)
+            except (KeyError, TypeError):
+                continue
+            qp = qstate[leaf.path]
+            bias_items.append((bias_path, b.shape,
+                               _bias_int16(b, jnp.asarray(qp.delta)),
+                               qp.delta))
+        if bias_items:
+            flat_b = jax.device_get(jnp.concatenate(
+                [it[2].ravel() for it in bias_items]))
+            ob = 0
+            for bias_path, bshape, b_int, delta in bias_items:
+                n = int(np.prod(bshape))
+                int_biases[bias_path] = flat_b[ob:ob + n].reshape(bshape)
+                ob += n
+                b_scales[bias_path] = delta
+
     # base_params keeps the original tree as a structure donor; quantized
     # leaves are excluded from size accounting / replaced on dequantize
-    return LightQuantized(int_weights, qstate, int_biases, b_scales,
+    return LightQuantized(int_w, qstate, int_biases, b_scales,
                           params, cfg)
 
 

@@ -17,10 +17,11 @@ requires; masked context convs, GDN gammas and LayerNorm scales stay FP32
 
 from __future__ import annotations
 
-from typing import Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..models.base import get_leaf, set_leaf
 from . import wrap
@@ -30,9 +31,17 @@ from . import wrap
 _FP_SUBTREES = ("context", "sc")
 
 
-def int8_serving_params(params, skip_subtrees: Tuple[str, ...] = ()):
+def int8_serving_params(params, skip_subtrees: Tuple[str, ...] = (),
+                        act_scales: Optional[Dict[str, float]] = None):
     """Transform conv/linear leaves into int8-kernel nodes. Returns a new
-    pytree runnable by the unmodified model code."""
+    pytree runnable by the unmodified model code.
+
+    ``act_scales`` (from :func:`calibrate_act_scales`) bakes a static
+    per-node input scale ``s_x`` into each integer node, removing the
+    dynamic per-call abs-max reduction — an extra full-tensor HBM pass
+    per conv that made dynamic-int8 serving slower than f32 (the same
+    dequantize-in-the-loop trap as the reference's INT8 TinyLIC,
+    single_test.ipynb cells 6/15)."""
     leaves = wrap.find_quant_leaves(params)
     out = params
     skip = _FP_SUBTREES + tuple(skip_subtrees)
@@ -57,8 +66,56 @@ def int8_serving_params(params, skip_subtrees: Tuple[str, ...] = ()):
         del node["w"]
         node["w_int8"] = w_int8
         node["s_w"] = s_w
+        if act_scales and node_path in act_scales:
+            node["s_x"] = jnp.float32(max(act_scales[node_path], 1e-8)
+                                      / 127.0)
         out = set_leaf(out, node_path, node)
     return out
 
 
-__all__ = ["int8_serving_params"]
+def _node_paths(params, prefix: str = "") -> Dict[int, str]:
+    """Map ``id(node_dict) -> path`` for every float-kernel node. The
+    eager calibration forward indexes the SAME dict objects out of the
+    tree, so object identity keys the probe reports back to paths."""
+    out = {}
+    if isinstance(params, dict):
+        if "w" in params and getattr(params["w"], "ndim", 0) in (2, 4):
+            out[id(params)] = prefix.rstrip("/")
+        for k, v in params.items():
+            out.update(_node_paths(v, f"{prefix}{k}/"))
+    elif isinstance(params, (tuple, list)):
+        for i, v in enumerate(params):
+            out.update(_node_paths(v, f"{prefix}{i}/"))
+    return out
+
+
+def calibrate_act_scales(model, params, images) -> Dict[str, float]:
+    """Per-node input abs-max over calibration images — the static
+    counterpart of the reference's dynamic `ActQuantizer` (the
+    'generator' single-forward calibration, quantize.py:95-113, made
+    static so serving never pays the runtime reduction).
+
+    Runs the FP32 forward EAGERLY (no jit) with a layer probe; per-op
+    dispatch cost is irrelevant for a handful of calibration images.
+    Returns ``{node_path: abs_max}``."""
+    from ..models import layers as L
+
+    paths = _node_paths(params)
+    amax: Dict[str, float] = {}
+
+    def probe(node, x):
+        path = paths.get(id(node))
+        if path is not None:
+            v = float(jnp.max(jnp.abs(x)))
+            amax[path] = max(amax.get(path, 0.0), v)
+
+    L._ACT_PROBE = probe
+    try:
+        for img in images:
+            model.forward(params, jnp.asarray(img))
+    finally:
+        L._ACT_PROBE = None
+    return amax
+
+
+__all__ = ["int8_serving_params", "calibrate_act_scales"]

@@ -78,29 +78,92 @@ def find_quant_leaves(params, prefix: str = "") -> Tuple[LeafInfo, ...]:
     return tuple(out)
 
 
+def group_leaves(params, leaves: Sequence[LeafInfo],
+                 cfg: WeightQuantConfig):
+    """Group leaves by (shape, dtype, bits, channel_axis) so same-shaped
+    leaves share ONE vmapped program. Transformer zoo models repeat a few
+    block shapes hundreds of times (Lu2022 q6: 232 leaves, 20 unique
+    shapes; TinyLIC: 263/41) — a single flat program quantizing every
+    leaf takes tens of minutes to compile over the remote-compile tunnel,
+    while per-shape programs compile in seconds and cache across models."""
+    groups: Dict[tuple, list] = {}
+    for leaf in leaves:
+        w = get_leaf(params, leaf.path)
+        axis = leaf.channel_axis if cfg.channel_wise else None
+        key = (tuple(w.shape), str(w.dtype), cfg.bits_for(leaf.path), axis)
+        groups.setdefault(key, []).append(leaf.path)
+    return groups
+
+
+import functools as _ft
+
+
+def leaf_qp_shape(w_shape: tuple, axis) -> tuple:
+    """Shape of a leaf's delta/zero_point: broadcastable singletons with
+    the channel count at ``axis`` (channel-wise), or scalar."""
+    if axis is None:
+        return ()
+    shape = [1] * len(w_shape)
+    shape[axis] = w_shape[axis]
+    return tuple(shape)
+
+
+@_ft.lru_cache(maxsize=64)
+def _qstate_packed_fn(spec, method: str, sym: bool):
+    """ONE jitted program computing every leaf's scale/zero-point:
+    same-shaped leaves run as a vmapped subgraph (program size scales
+    with unique shapes, not leaf count), and results come back as two
+    flat buffers — a single device->host transfer. Anything per-leaf
+    (eager slices, per-array device_get) pays a ~10-50 ms round trip
+    over the remote-compile tunnel, which dominates at transformer-zoo
+    leaf counts (Lu2022 q6: 232 leaves)."""
+    import jax
+    import jax.numpy as jnp
+
+    def compute(params):
+        fd, fz = [], []
+        for paths, bits, axis in spec:
+            ws = jnp.stack([get_leaf(params, p) for p in paths])
+
+            def one(w, bits=bits, axis=axis):
+                if axis is not None:
+                    return Q.init_scale_channelwise(w, bits, method, sym,
+                                                    axis)
+                return Q.init_scale(w.ravel(), bits, method, sym)
+
+            qp = jax.vmap(one)(ws)
+            fd.append(qp.delta.ravel().astype(jnp.float32))
+            fz.append(qp.zero_point.ravel().astype(jnp.float32))
+        return jnp.concatenate(fd), jnp.concatenate(fz)
+
+    return jax.jit(compute)
+
+
 def init_weight_qstate(params, leaves: Sequence[LeafInfo],
                        cfg: WeightQuantConfig) -> Dict[str, Q.QParams]:
     """Calibrate scale/zero-point for every leaf (vmapped channel-wise).
 
-    The whole init is ONE jitted program — large models have hundreds of
-    leaves and per-leaf eager dispatch would dominate startup."""
-    import jax
+    One jitted program for the whole init (grouped by unique leaf shape,
+    see :func:`_qstate_packed_fn`); the returned QParams are host numpy
+    arrays that re-enter later jitted programs as ordinary arguments."""
+    import numpy as np
 
-    def compute(params):
-        qstate = {}
-        for leaf in leaves:
-            w = get_leaf(params, leaf.path)
-            bits = cfg.bits_for(leaf.path)
-            if cfg.channel_wise and leaf.channel_axis is not None:
-                qp = Q.init_scale_channelwise(w, bits, cfg.scale_method,
-                                              cfg.sym, leaf.channel_axis)
-            else:
-                qp = Q.init_scale(w.ravel(), bits, cfg.scale_method,
-                                  cfg.sym)
-            qstate[leaf.path] = qp
-        return qstate
+    groups = group_leaves(params, leaves, cfg)
+    spec = tuple((tuple(paths), bits, axis)
+                 for (shape, _, bits, axis), paths in groups.items())
+    fd, fz = jax.device_get(
+        _qstate_packed_fn(spec, cfg.scale_method, cfg.sym)(params))
 
-    return jax.jit(compute)(params)
+    qstate: Dict[str, Q.QParams] = {}
+    off = 0
+    for (shape, _, bits, axis), paths in groups.items():
+        qshape = leaf_qp_shape(shape, axis)
+        n = int(np.prod(qshape, dtype=np.int64)) if qshape else 1
+        for p in paths:
+            qstate[p] = Q.QParams(fd[off:off + n].reshape(qshape),
+                                  fz[off:off + n].reshape(qshape))
+            off += n
+    return qstate
 
 
 def init_alphas(params, qstate: Mapping[str, Q.QParams],

@@ -155,4 +155,51 @@ def train(model, params, images, cfg: TrainConfig,
     return {"params": params, "history": np.concatenate(history, axis=0)}
 
 
-__all__ = ["TrainConfig", "train"]
+def train_variable_rate(model, params, images, cfg: TrainConfig,
+                        lambdas, log_every: int = 4) -> Dict:
+    """Variable-rate training for λ-conditioned models (TinyLIC's
+    ScalingNet FiLM conditioning, reference tinylic.py:17-32): ONE
+    parameter set trained under every λ in ``lambdas``.
+
+    λ is a static scalar inside each stage closure (a compile-time
+    constant — cheap, λ is one float), so instead of tracing it we
+    round-robin optimization chunks across ``model.with_lambda(λ)``
+    variants: |lambdas| compiled programs, one shared Adam state. The
+    returned params produce an RD curve by evaluating at each λ."""
+    runs = []
+    for lam in lambdas:
+        m = model.with_lambda(lam)
+        c = dataclasses.replace(cfg, lmbda=lam)
+        runs.append((lam, *_chunk_fn(m, c)))
+    opt = runs[0][2]
+    opt_state = opt.init(params)
+    rng = np.random.default_rng(cfg.seed)
+    key = jax.random.PRNGKey(cfg.seed)
+
+    history = []
+    n_chunks = -(-cfg.steps // cfg.chunk)
+    for c in range(n_chunks):
+        lam, run, _ = runs[c % len(runs)]
+        k = min(cfg.chunk, cfg.steps - c * cfg.chunk)
+        batches = _sample_crops(rng, images, k * cfg.batch_size,
+                                cfg.patch_size).reshape(
+            k, cfg.batch_size, cfg.patch_size, cfg.patch_size, 3)
+        key, sub = jax.random.split(key)
+        keys = jax.random.split(sub, k)
+        t0 = time.time()
+        params, opt_state, ms = run(params, opt_state,
+                                    jnp.asarray(batches), keys)
+        ms = np.asarray(ms)
+        history.append(ms)
+        if (c + 1) % log_every == 0 or c + 1 == n_chunks:
+            dt = time.time() - t0
+            log.info("step %5d/%d  lam %.4f  loss %.4f  bpp %.4f  "
+                     "dist %.3e  (%.1f it/s)", (c + 1) * cfg.chunk
+                     - (cfg.chunk - k), cfg.steps, lam, ms[-1, 0],
+                     ms[-1, 1], ms[-1, 2], k / dt)
+    params = dict(params)
+    params["eb"] = E.fit_quantiles(params["eb"])
+    return {"params": params, "history": np.concatenate(history, axis=0)}
+
+
+__all__ = ["TrainConfig", "train", "train_variable_rate"]

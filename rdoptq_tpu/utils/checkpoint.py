@@ -17,6 +17,7 @@ package.
 from __future__ import annotations
 
 import json
+import os
 from typing import Any, Dict
 
 import jax
@@ -75,7 +76,12 @@ def save_pytree(path: str, tree: Any) -> None:
     spec = _flatten(tree, "root", arrays)
     arrays["__manifest__"] = np.frombuffer(
         json.dumps(spec).encode(), dtype=np.uint8)
-    np.savez_compressed(path, **arrays)
+    # atomic write: resume snapshots are saved under SIGKILL-bounded
+    # retry loops (scripts/repro_results.sh); a kill mid-write must not
+    # leave a truncated archive that poisons every subsequent resume
+    tmp = path + ".tmp.npz"
+    np.savez_compressed(tmp, **arrays)
+    os.replace(tmp, path)
 
 
 def load_pytree(path: str, as_jax: bool = True) -> Any:

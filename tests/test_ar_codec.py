@@ -114,3 +114,16 @@ def test_ar_roundtrip_lu2022_tiny():
                              out["y_shape"], tables)
     assert x_hat.shape == (1, 128, 128, 3)
     assert np.isfinite(x_hat).all()
+    # decode must reproduce the encoder's reconstruction bit-exactly on
+    # the transformer context/EP chain too (reference nic_cvt.py:426-570
+    # is the serial path this wavefront codec replaces)
+    y = jax.jit(model.g_a.run)(params, jnp.asarray(x))
+    h, w = int(y.shape[1]), int(y.shape[2])
+    z_hat = jnp.asarray(codec.decompress_factorized(
+        tables, out["strings"][1], out["shape"]))
+    hyper = ar._hyper_fn(model)(params, z_hat)
+    fns = ar._wave_fns(model, h, w)
+    buf, syms, scales = fns["encode_scan"](params, y[0], hyper[0])
+    x_ref = np.clip(np.asarray(
+        ar._synthesis_fn(model)(params, buf[None])), 0, 1)
+    assert np.allclose(x_hat, x_ref, atol=1e-5)

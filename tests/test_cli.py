@@ -84,6 +84,56 @@ def test_sweep_driver(tmp_path, monkeypatch):
 
 
 @pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
+def test_sweep_partial_validation(tmp_path, monkeypatch):
+    """A stale resume file from a differently-parameterized run must be
+    ignored, and rows for qualities outside the requested set dropped
+    (ADVICE r1: mixed-config artifacts)."""
+    from rdoptq_tpu.cli import sweep
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: Minnen2018(N=8, M=8))
+    monkeypatch.setattr(datasets, "kodak",
+                        lambda d=None, limit=None:
+                        datasets.load_dir(datasets.DEFAULT_KODAK, 1))
+    out_path = str(tmp_path / "sweep.json")
+    bogus_row = {"fp32": {"psnr": 99.0, "ms_ssim": 1.0, "ms_ssim_db": 99.0,
+                          "bpp": 0.1},
+                 "quant": {"psnr": 99.0, "ms_ssim": 1.0,
+                           "ms_ssim_db": 99.0, "bpp": 0.1},
+                 "extra": {}, "calibration_seconds": 0.0}
+    # config mismatch (different iters_w) -> whole partial ignored
+    with open(out_path + ".partial", "w") as f:
+        json.dump({"config": {"arch": "Minnen2018", "n_bits_w": 8,
+                              "n_bits_a": 8, "iters_w": 777,
+                              "act_quant": False, "batch_size": 4,
+                              "compute_dtype": "float32"},
+                   "per_quality": {"1": bogus_row}}, f)
+    out = sweep.run(arch="Minnen2018", qualities=(1, 2, 3, 4), iters_w=0,
+                    act_quant=False, out_path=out_path)
+    assert out["per_quality"][1]["fp32"]["psnr"] != 99.0
+    # legacy/garbage partial -> ignored, not crashed on
+    with open(out_path + ".partial", "w") as f:
+        f.write("{truncated")
+    out = sweep.run(arch="Minnen2018", qualities=(1, 2), iters_w=0,
+                    act_quant=False, out_path=out_path)
+    assert sorted(out["per_quality"]) == [1, 2]
+    # matching config but a quality outside the requested set -> dropped
+    cfg = {"arch": "Minnen2018", "n_bits_w": 8, "n_bits_a": 8,
+           "iters_w": 0, "act_quant": False, "batch_size": 4,
+           "compute_dtype": "float32"}
+    with open(out_path + ".partial", "w") as f:
+        json.dump({"config": cfg,
+                   "per_quality": {"1": bogus_row, "9": bogus_row}}, f)
+    out = sweep.run(arch="Minnen2018", qualities=(1, 2), iters_w=0,
+                    act_quant=False, out_path=out_path)
+    assert sorted(out["per_quality"]) == [1, 2]
+    assert out["per_quality"][1]["fp32"]["psnr"] == 99.0  # resumed row
+    assert 9 not in out["per_quality"]
+
+
+@pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
 def test_evaluate_driver_with_dumps(tmp_path, monkeypatch):
     from rdoptq_tpu.cli import evaluate as ecli
     from rdoptq_tpu.models import registry

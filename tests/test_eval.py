@@ -27,6 +27,26 @@ def test_bd_rate_10pct_rate_overhead():
     assert bdrate.bd_rate(r, p, r, p - 0.5) > 0
 
 
+def test_bd_rate_pchip_variant():
+    """The piecewise (pchip) variant (reference BD-rate.py:68-82) agrees
+    with the cubic fit on smooth curves and satisfies the same
+    invariants."""
+    r = np.array([0.2, 0.4, 0.8, 1.2])
+    p = np.array([30.0, 33.0, 36.0, 38.0])
+    assert abs(bdrate.bd_rate(r, p, r, p, piecewise=True)) < 1e-9
+    val = bdrate.bd_rate(r, p, r * 1.1, p, piecewise=True)
+    assert abs(val - 10.0) < 0.2
+    poly = bdrate.bd_rate(r, p, r * 1.05, p - 0.2)
+    pch = bdrate.bd_rate(r, p, r * 1.05, p - 0.2, piecewise=True)
+    assert abs(poly - pch) < 1.0
+    assert bdrate.bd_psnr(r, p, r, p + 1.0,
+                          piecewise=True) == pytest.approx(1.0, abs=1e-6)
+    # 5+ points (where a single cubic can oscillate) still work
+    r5 = np.array([0.15, 0.3, 0.5, 0.8, 1.3])
+    p5 = np.array([29.0, 31.5, 33.5, 35.8, 38.0])
+    assert abs(bdrate.bd_rate(r5, p5, r5, p5, piecewise=True)) < 1e-9
+
+
 def test_bd_psnr_sign():
     r = [0.2, 0.4, 0.8, 1.2]
     p = np.array([30.0, 33.0, 36.0, 38.0])

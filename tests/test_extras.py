@@ -119,6 +119,32 @@ def test_int8_serving_full_model():
     assert d < 0.1
 
 
+def test_int8_serving_static_act_scales():
+    """Calibrated static act scales (s_x baked into the node) must match
+    the dynamic abs-max path when calibration saw the same tensor, and
+    the full model must run with them (no dynamic reduction at serve)."""
+    from rdoptq_tpu.models.base import get_leaf
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.quant import serve_int8
+    model = Minnen2018(N=16, M=24)
+    params = model.init(jax.random.PRNGKey(11))
+    x = jax.random.uniform(jax.random.PRNGKey(12), (1, 64, 64, 3))
+    scales = serve_int8.calibrate_act_scales(model, params, [x])
+    assert "g_a/conv0" in scales and scales["g_a/conv0"] > 0
+    # first conv's input is the image itself -> abs-max is x's
+    assert abs(scales["g_a/conv0"] - float(jnp.abs(x).max())) < 1e-6
+    p8s = serve_int8.int8_serving_params(params, act_scales=scales)
+    assert float(get_leaf(p8s, "g_a/conv0/s_x")) > 0
+    out_s = model.forward(p8s, x)
+    assert np.isfinite(np.asarray(out_s["x_hat"])).all()
+    # on the calibration image itself, static and dynamic quantization
+    # see identical ranges at the first layer and stay close overall
+    p8d = serve_int8.int8_serving_params(params)
+    out_d = model.forward(p8d, x)
+    d = float(jnp.mean(jnp.abs(out_s["x_hat"] - out_d["x_hat"])))
+    assert d < 0.05
+
+
 def test_fold_bn_matches_torch():
     """Conv+BN folding equals torch's conv->batchnorm eval composition."""
     torch = pytest.importorskip("torch")

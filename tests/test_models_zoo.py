@@ -75,6 +75,46 @@ def test_cheng2020_attn_registry():
     assert m6.N == 192
 
 
+def test_cheng2020_gmm_forward_train_and_calibration():
+    """GMM (K=3) entropy model: mixture-conditioned likelihoods drive the
+    fake-quant eval and the training gradient, and the ep head stays a
+    calibratable unit (the paper's 'GMM+attention' configuration)."""
+    from rdoptq_tpu.models import registry
+    m = registry.build_model("Cheng2020GMM", 3)
+    assert m.K == 3 and m.attention and m.N == 128
+
+    model = Cheng2020(N=16, attention=True, K=3)
+    params = model.init(jax.random.PRNGKey(0))
+    assert params["ep"]["conv2"]["w"].shape[-1] == 3 * 3 * 16
+    x = jax.random.uniform(jax.random.PRNGKey(1), (1, 64, 64, 3))
+    out = model.forward(params, x)
+    assert out["x_hat"].shape == x.shape
+    bpp = M.bpp_from_likelihoods(out["likelihoods"], 64 * 64)
+    assert np.isfinite(float(bpp)) and float(bpp) > 0
+    lik = np.asarray(out["likelihoods"]["y"])
+    assert lik.shape == out["y"].shape  # mixture axis summed out
+    assert (lik > 0).all() and (lik <= 1.0 + 1e-6).all()
+
+    # training forward (noise quantization) differentiates through the
+    # mixture likelihood
+    def loss(p):
+        o = model.forward(p, x, training=True, key=jax.random.PRNGKey(2))
+        return M.bpp_from_likelihoods(o["likelihoods"], 64 * 64)
+
+    g = jax.grad(loss)(params)
+    gw = np.asarray(g["ep"]["conv2"]["w"])
+    assert np.isfinite(gw).all() and np.abs(gw).max() > 0
+
+    # the GMM ep head calibrates like any other unit
+    cali = jax.random.uniform(jax.random.PRNGKey(3), (2, 64, 64, 3))
+    state = rdo.init_ptq_state(params, wrap.WeightQuantConfig(n_bits=8))
+    cfg = rdo.RDOConfig(iters=5, batch_size=2)
+    info = rdo.calibrate_unit(model, params, state, model.ep, 2, cali,
+                              cfg, key=jax.random.PRNGKey(4))
+    assert "ep/conv2/w" in state.alphas
+    assert np.isfinite(info["loss_last"])
+
+
 @pytest.fixture(scope="module")
 def tiny_lu():
     model = Lu2022(embed_dim=16, latent_dim=32, window_size=4)

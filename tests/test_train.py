@@ -70,3 +70,31 @@ def test_train_sharded_matches_intent():
                         lmbda=0.01, chunk=4, seed=0)
     res = T.train(model, params, images, cfg, mesh=mesh)
     assert np.isfinite(res["history"]).all()
+
+
+def test_train_variable_rate_tinylic():
+    """Variable-rate training: one TinyLIC parameter set optimized under
+    multiple λ (ScalingNet conditioning, reference tinylic.py:17-32);
+    after training the same params give different rates at different λ."""
+    from rdoptq_tpu.models import tinylic as TL
+
+    model = TL.TinyLIC(N=8, M=12, slices=(4, 8), depths=(1,) * 6,
+                       lambda_rd=0.01)
+    params = model.init(jax.random.PRNGKey(1))
+    rng = np.random.default_rng(1)
+    images = [rng.random((96, 96, 3)).astype(np.float32) for _ in range(3)]
+    cfg = T.TrainConfig(steps=40, batch_size=2, patch_size=64, lr=3e-4,
+                        chunk=10, seed=0)
+    res = T.train_variable_rate(model, params, images, cfg,
+                                lambdas=(0.003, 0.05))
+    hist = res["history"]
+    assert hist.shape == (40, 3) and np.isfinite(hist).all()
+
+    img = rng.random((64, 64, 3)).astype(np.float32)[None]
+    r_lo = harness.evaluate(model.with_lambda(0.003), res["params"], [img],
+                            pad_multiple=64)
+    r_hi = harness.evaluate(model.with_lambda(0.05), res["params"], [img],
+                            pad_multiple=64)
+    assert np.isfinite(r_lo.bpp) and np.isfinite(r_hi.bpp)
+    # λ-conditioning must actually change the operating point
+    assert abs(r_hi.bpp - r_lo.bpp) > 1e-4
