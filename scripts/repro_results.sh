@@ -24,8 +24,13 @@ ITERS="${3:-5000}"
 REFDATA=/root/reference/task-oriented-PTQ/datasets
 TRAIN_DIR="${TRAIN_DIR:-$REFDATA/tecnick100/tecnick/RGB_OR_1200x1200}"
 CALIB_DIR="${CALIB_DIR:-$REFDATA/clic41}"
-# three-dataset evaluation (reference: test_datasets.ipynb cells 13-22)
+# three-dataset evaluation (reference: test_datasets.ipynb cells 13-22).
+# The FP32/W8/W8A8 states get the full three-dataset tables; W10A10 keeps
+# Kodak only by default (act_bits=10 forces a recompile of every padded
+# shape bucket — ~11 per model dims — for one table the reference never
+# publishes per-dataset).
 EXTRA_EVAL="${EXTRA_EVAL:-tecnick=$REFDATA/tecnick100/tecnick/RGB_OR_1200x1200,clic=$REFDATA/clic41}"
+EXTRA_EVAL_W10="${EXTRA_EVAL_W10:-}"
 # extra per-arch sweep flags, e.g. SWEEP_FLAGS="--remat --compute_dtype
 # bfloat16" for Lu2022's deep RSTB suffixes
 read -r -a EXTRA <<< "${SWEEP_FLAGS:-}"
@@ -98,7 +103,8 @@ else
   echo "== sweep: W10A10 RDO-calibrated ($ITERS it/unit)"
   retry 8 python -m rdoptq_tpu.cli.sweep --arch "$ARCH" --qualities "$QS" \
     --ckpt_pattern "$PAT" --n_bits_w 10 --n_bits_a 10 --act_quant \
-    --iters_w "$ITERS" --calib_dir "$CALIB_DIR" --extra_eval "$EXTRA_EVAL" \
+    --iters_w "$ITERS" --calib_dir "$CALIB_DIR" \
+    --extra_eval "$EXTRA_EVAL_W10" \
     "${EXTRA[@]}" --out "artifacts/${LOW}_w10a10_rdo.json"
 fi
 

@@ -1,0 +1,133 @@
+"""TinyLIC light-PTQ results: FP32 / BF16 / INT8 RD curves + codec table.
+
+The measured counterpart of the reference's `single_test.ipynb` /
+`dataset_test.ipynb` (light-uniform-PTQ): evaluate a trained
+variable-rate TinyLIC anchor on Kodak at a λ grid in FP32, one-shot INT8
+(dequantize-on-the-fly weights + dynamic Q8.8 activations,
+quant_int/quant_layer.py:100-137 semantics) and BF16 (`model.half()`
+equivalent), report BD deltas of each vs FP32, then the single-image
+real-codec enc/dec timing + model-size table (single_test.py:144-156).
+
+Run (after `cli.train --arch TinyLIC --lambdas ...`):
+    python scripts/tinylic_results.py --checkpoint ckpts/tinylic_vr.npz
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdoptq_tpu.cli.quantize import validate_real_codec
+from rdoptq_tpu.coding import codec
+from rdoptq_tpu.eval import bdrate, datasets, harness
+from rdoptq_tpu.models import registry
+from rdoptq_tpu.ops import entropy as E
+from rdoptq_tpu.quant import light, policy
+
+LAMBDAS = (0.0067, 0.0130, 0.0250, 0.0483)
+
+
+def eval_config(model, params, images, gates_on: bool, eval_fn) -> dict:
+    gates = harness.stage_gates(
+        model, [st.name for c in model.coders.values()
+                for st in c.stages] if gates_on else ())
+    r = harness.evaluate(model, params, images, pad_multiple=64,
+                         eval_fn=eval_fn, gates=gates)
+    return {"psnr": r.psnr, "ms_ssim": r.ms_ssim,
+            "ms_ssim_db": r.ms_ssim_db, "bpp": r.bpp}
+
+
+def main():
+    p = argparse.ArgumentParser()
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--out", default="artifacts/tinylic_light_ptq.json")
+    p.add_argument("--limit", type=int, default=0,
+                   help="limit Kodak images (0 = all 24)")
+    args = p.parse_args()
+
+    images = datasets.kodak(limit=args.limit or None)
+    base = registry.build_model("TinyLIC", 6)
+    params = registry.load_params(base, "TinyLIC", args.checkpoint)
+
+    t0 = time.time()
+    lq = light.quantize_model(params)
+    quant_s = time.time() - t0
+    params_int8 = light.dequantized_params(lq)
+    params_bf16 = light.cast_params(params, jnp.bfloat16)
+
+    curves = {"fp32": [], "int8": [], "bf16": []}
+    for lam in LAMBDAS:
+        model = base.with_lambda(lam)
+        skips = policy.output_act_skips(model)
+        # one gated program serves FP32 (gates off) and INT8 (Q8.8 acts
+        # on); bf16 params trace their own program (different dtype)
+        eval_fn = harness.make_gated_eval_fn(model, skips, "q88", 8)
+        curves["fp32"].append(eval_config(model, params, images, False,
+                                          eval_fn))
+        curves["int8"].append(eval_config(model, params_int8, images,
+                                          True, eval_fn))
+        curves["bf16"].append(eval_config(model, params_bf16, images,
+                                          False, eval_fn))
+        print(f"lam={lam}: fp32 {curves['fp32'][-1]} | "
+              f"int8 {curves['int8'][-1]} | bf16 {curves['bf16'][-1]}")
+
+    def bd(test):
+        a, t = curves["fp32"], curves[test]
+        return {
+            "bd_rate_pct": bdrate.bd_rate(
+                [r["bpp"] for r in a], [r["psnr"] for r in a],
+                [r["bpp"] for r in t], [r["psnr"] for r in t]),
+            "bd_psnr_db": bdrate.bd_psnr(
+                [r["bpp"] for r in a], [r["psnr"] for r in a],
+                [r["bpp"] for r in t], [r["psnr"] for r in t]),
+        }
+
+    out = {"lambdas": list(LAMBDAS), "curves": curves,
+           "bd_int8_vs_fp32": bd("int8"), "bd_bf16_vs_fp32": bd("bf16"),
+           "one_shot_quantize_s": round(quant_s, 3),
+           "size_mb": {
+               "fp32": round(light.model_size_bytes(params) / 1e6, 2),
+               "bf16": round(light.model_size_bytes(params_bf16) / 1e6, 2),
+               "int8": round(light.quantized_size_bytes(lq) / 1e6, 2)},
+           "checkpoint": args.checkpoint}
+
+    # real-codec enc/dec timing on the largest CLIC image class (the
+    # reference times a 2K image, single_test.ipynb cells 6/9/15)
+    clic = "/root/reference/task-oriented-PTQ/datasets/clic41/002.png"
+    img = (datasets.load_image(clic) if os.path.exists(clic)
+           else images[0])
+    model6 = base.with_lambda(LAMBDAS[-1])
+    codec_rows = {}
+    for tag, pp in (("fp32", params), ("int8", params_int8),
+                    ("bf16", params_bf16)):
+        pd = dict(pp)
+        # codec tables must be built from f32 entropy params
+        pd["eb"] = jax.tree.map(
+            lambda a: a.astype(jnp.float32)
+            if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a,
+            dict(pp)["eb"])
+        pd["eb"] = E.fit_quantiles(pd["eb"])
+        tables = codec.build_codec_tables(pd["eb"])
+        r = validate_real_codec(model6, pd, img, tables, "checkerboard")
+        r = validate_real_codec(model6, pd, img, tables, "checkerboard")
+        codec_rows[tag] = {k: round(v, 4) for k, v in r.items()}
+        print(f"codec {tag}: {codec_rows[tag]}")
+    out["codec_2k"] = codec_rows
+
+    os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote", args.out)
+
+
+if __name__ == "__main__":
+    main()
