@@ -4,11 +4,11 @@
 # attention"; this exercises `ops/entropy.gaussian_mixture_likelihood`
 # end-to-end through training, calibration, and evaluation.
 #
-# Two qualities (q5/q6) keep the TPU budget small; per-quality FP32 vs
-# W8A8 rows land in the artifact (BD-rate needs >=4 points, so the
-# artifact records per-quality deltas only).
+# A small quality set (GMM_QUALITIES, default "6") keeps the TPU budget
+# small; per-quality FP32 vs W8A8 rows land in the artifact (BD-rate
+# needs >=4 points, so the artifact records per-quality deltas only).
 #
-# Usage:  bash scripts/repro_gmm.sh [steps] [iters_w]
+# Usage:  [GMM_QUALITIES="5 6"] bash scripts/repro_gmm.sh [steps] [iters_w]
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -32,10 +32,12 @@ retry() {  # retry <max> <cmd...>  (see repro_results.sh)
 
 mkdir -p ckpts artifacts
 
-QUALITIES=(5 6)
-LAMBDAS=(0.0250 0.0483)
-for i in "${!QUALITIES[@]}"; do
-  q="${QUALITIES[$i]}"; lam="${LAMBDAS[$i]}"
+# GMM_QUALITIES trims the TPU budget (VERDICT Next #7 asks for one
+# trained quality + a W8A8 sweep artifact); "5 6" gives two RD rows.
+read -r -a QUALITIES <<< "${GMM_QUALITIES:-6}"
+declare -A LAM=([3]=0.0067 [4]=0.0130 [5]=0.0250 [6]=0.0483)
+for q in "${QUALITIES[@]}"; do
+  lam="${LAM[$q]}"
   ckpt="ckpts/cheng2020gmm_q${q}.npz"
   if [[ -f "$ckpt" ]]; then
     echo "== anchor exists: $ckpt"
@@ -51,8 +53,9 @@ if [[ -f artifacts/cheng2020gmm_w8a8_rdo.json ]]; then
   echo "== sweep exists: cheng2020gmm_w8a8_rdo.json"
 else
   echo "== sweep: Cheng2020GMM W8A8 RDO-calibrated ($ITERS it/unit)"
+  QS=$(IFS=,; echo "${QUALITIES[*]}")
   retry 8 python -m rdoptq_tpu.cli.sweep --arch Cheng2020GMM \
-    --qualities 5,6 --ckpt_pattern "ckpts/cheng2020gmm_q{quality}.npz" \
+    --qualities "$QS" --ckpt_pattern "ckpts/cheng2020gmm_q{quality}.npz" \
     --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w "$ITERS" \
     --calib_dir "$CALIB_DIR" --batch_size 2 \
     --out artifacts/cheng2020gmm_w8a8_rdo.json
