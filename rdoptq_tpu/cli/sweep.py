@@ -87,12 +87,14 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         out_path: str = "./results/sweep.json", seed: int = 1005,
         compute_dtype: str = "float32", remat: bool = False,
         batch_size: int = 4, calib_dir: str = DEFAULT_CALIB_DIR,
-        extra_eval=()) -> dict:
+        extra_eval=(), eval_pad_to=None) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
     the full per-unit calibration at each quality. ``extra_eval`` is a
     sequence of (name, directory) evaluation sets beyond the main one
     (reference: Kodak + Tecnick100 + CLIC, test_datasets.ipynb cells
-    13-14, 21-22)."""
+    13-14, 21-22). ``eval_pad_to=(H, W)`` floors every eval image's
+    padded shape to one bucket — required for varied-shape sets (CLIC:
+    23 unique sizes would otherwise each pay a full XLA compile)."""
     setup_logger(os.path.dirname(out_path) or ".")
     images = datasets.kodak(test_dir or datasets.DEFAULT_KODAK)
     extra_images = {name: datasets.load_dir(d) for name, d in extra_eval}
@@ -102,6 +104,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
     config = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
               "iters_w": iters_w, "act_quant": act_quant,
               "batch_size": batch_size, "compute_dtype": compute_dtype}
+    if eval_pad_to is not None:  # changes eval numbers -> resume key
+        config["eval_pad_to"] = list(eval_pad_to)
     # per-quality resume file: TPU tunnel faults kill multi-quality runs;
     # a rerun skips completed qualities (losing at most one calibration).
     # `anchors` persists the FP32 eval per quality so a mid-calibration
@@ -143,12 +147,12 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             rows = {}
             res = harness.evaluate(model, params_x, images,
                                    pad_multiple=pad, eval_fn=eval_fn,
-                                   gates=gates)
+                                   gates=gates, pad_to=eval_pad_to)
             rows["main"] = dataclass_row(res)
             for name, imgs in extra_images.items():
                 r = harness.evaluate(model, params_x, imgs,
                                      pad_multiple=pad, eval_fn=eval_fn,
-                                     gates=gates)
+                                     gates=gates, pad_to=eval_pad_to)
                 rows[name] = dataclass_row(r)
                 log.info("q%d %s [%s] %s", q, label, name, r.row())
             log.info("q%d %s [main] %s", q, label, res.row())
@@ -291,12 +295,20 @@ def main(argv=None):
     p.add_argument("--batch_size", type=int, default=4,
                    help="calibration step batch (reference default 4; "
                         "smaller shrinks the suffix working set)")
+    p.add_argument("--eval_pad_to", default="",
+                   help="HxW floor for every eval image's padded shape "
+                        "(one compile bucket for varied-shape sets like "
+                        "CLIC), e.g. 1536x2048")
     a = p.parse_args(argv)
+    pad_to = None
+    if a.eval_pad_to:
+        h, _, w = a.eval_pad_to.lower().partition("x")
+        pad_to = (int(h), int(w))
     run(a.arch, tuple(int(x) for x in a.qualities.split(",")), a.n_bits_w,
         a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
         a.out, compute_dtype=a.compute_dtype, remat=a.remat,
         batch_size=a.batch_size, calib_dir=a.calib_dir,
-        extra_eval=parse_extra_eval(a.extra_eval))
+        extra_eval=parse_extra_eval(a.extra_eval), eval_pad_to=pad_to)
 
 
 if __name__ == "__main__":

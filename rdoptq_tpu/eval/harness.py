@@ -96,11 +96,17 @@ def stage_gates(model, enabled_stages) -> dict:
 
 def evaluate(model, params, images: Sequence[np.ndarray],
              ctx: QuantCtx = NULL_CTX, pad_multiple: int = 64,
-             eval_fn=None, gates: Optional[dict] = None) -> EvalResult:
+             eval_fn=None, gates: Optional[dict] = None,
+             pad_to: Optional[tuple] = None) -> EvalResult:
     """Evaluate a list of (1, H, W, 3) images; returns dataset means
     (the reference averages per-image metrics, test_datasets.py:100-116).
     Pass ``eval_fn`` from :func:`make_gated_eval_fn` together with
-    ``gates`` to share one compiled program across quant states."""
+    ``gates`` to share one compiled program across quant states.
+    ``pad_to=(H, W)`` floors the padded shape to one fixed bucket so a
+    varied-shape set (CLIC) costs one compile; bpp stays normalized by
+    the ORIGINAL pixel count, so padding inflates absolute bpp slightly
+    (the reference's padded eval does the same) — deltas vs an anchor
+    evaluated with the same padding remain comparable."""
     if eval_fn is None:
         run = make_eval_fn(model, ctx)
     else:
@@ -109,7 +115,8 @@ def evaluate(model, params, images: Sequence[np.ndarray],
     t0 = time.time()
     for img in images:
         x = jnp.asarray(img)
-        x_pad, (h, w, top, left) = M.pad_to_multiple(x, pad_multiple)
+        x_pad, (h, w, top, left) = M.pad_to_multiple(x, pad_multiple,
+                                                     floor=pad_to)
         if gates is not None:
             p, s, b = run(params, x_pad, gates, (h, w), (top, left))
         else:

@@ -110,13 +110,20 @@ def rd_loss(out: Dict, target: jax.Array, lmbda: float,
     raise ValueError(f"unknown metric {metric!r}")
 
 
-def pad_to_multiple(x: jax.Array, multiple: int = 64):
+def pad_to_multiple(x: jax.Array, multiple: int = 64, floor=None):
     """Constant-pad H/W up to the next multiple (reference
     test_datasets.py:45-60 pads to 256 for Lu2022, 64 for TinyLIC).
-    Returns (padded, (h, w)) with the original size for cropping."""
+    Returns (padded, (h, w)) with the original size for cropping.
+
+    ``floor=(H, W)`` sets a minimum padded size, collapsing a
+    varied-shape dataset (CLIC has 23 unique sizes) into few jit shape
+    buckets — each unique padded shape is one XLA compile."""
     _, h, w, _ = x.shape
     new_h = -(-h // multiple) * multiple
     new_w = -(-w // multiple) * multiple
+    if floor is not None:
+        new_h = max(new_h, -(-floor[0] // multiple) * multiple)
+        new_w = max(new_w, -(-floor[1] // multiple) * multiple)
     pad_h, pad_w = new_h - h, new_w - w
     top, left = pad_h // 2, pad_w // 2
     out = jnp.pad(x, ((0, 0), (top, pad_h - top), (left, pad_w - left),

@@ -96,6 +96,21 @@ def test_pad_crop_roundtrip():
     assert back.shape == x.shape
 
 
+def test_pad_floor_single_bucket():
+    """`floor` collapses varied shapes into one compile bucket (CLIC has
+    23 unique sizes) while the crop still recovers the original pixels."""
+    for h, w in ((100, 130), (384, 512), (200, 700)):
+        x = jnp.arange(h * w * 3, dtype=jnp.float32).reshape(1, h, w, 3)
+        padded, meta = M.pad_to_multiple(x, 64, floor=(384, 700))
+        assert padded.shape == (1, 384, 704, 3)
+        assert np.allclose(np.asarray(M.crop_to_original(padded, meta)),
+                           np.asarray(x))
+    # floor smaller than the image: plain multiple-rounding wins
+    x = jnp.ones((1, 500, 900, 3))
+    padded, _ = M.pad_to_multiple(x, 64, floor=(384, 700))
+    assert padded.shape == (1, 512, 960, 3)
+
+
 def test_psnr_and_msssim_sanity():
     key = jax.random.PRNGKey(7)
     a = jax.random.uniform(key, (1, 192, 192, 3))
