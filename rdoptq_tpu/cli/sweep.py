@@ -9,7 +9,7 @@ out. Run:
 
     python -m rdoptq_tpu.cli.sweep --arch Cheng2020 --n_bits_w 8 \
         --qualities 1,2,3,4,5,6 \
-        --extra_eval tecnick=/data/tecnick,clic=/data/clic
+        --extra_eval tecnick=/data/tecnick,clic=/data/clic@1792x2048
 """
 
 from __future__ import annotations
@@ -97,7 +97,12 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
     23 unique sizes would otherwise each pay a full XLA compile)."""
     setup_logger(os.path.dirname(out_path) or ".")
     images = datasets.kodak(test_dir or datasets.DEFAULT_KODAK)
-    extra_images = {name: datasets.load_dir(d) for name, d in extra_eval}
+    # (name, dir) or (name, dir, pad_to) — per-set pad floor
+    extra_eval = tuple((e[0], e[1], e[2] if len(e) > 2 else None)
+                       for e in extra_eval)
+    extra_images = {name: datasets.load_dir(d)
+                    for name, d, _ in extra_eval}
+    extra_pad = {name: pt for name, _, pt in extra_eval}
     calib_images = datasets.load_dir(calib_dir) if iters_w > 0 else []
     pad = pad_multiple_for(arch)
 
@@ -152,7 +157,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             for name, imgs in extra_images.items():
                 r = harness.evaluate(model, params_x, imgs,
                                      pad_multiple=pad, eval_fn=eval_fn,
-                                     gates=gates, pad_to=eval_pad_to)
+                                     gates=gates,
+                                     pad_to=extra_pad[name] or eval_pad_to)
                 rows[name] = dataclass_row(r)
                 log.info("q%d %s [%s] %s", q, label, name, r.row())
             log.info("q%d %s [main] %s", q, label, res.row())
@@ -230,7 +236,9 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
            "provenance": {"ckpt_pattern": ckpt_pattern,
                           "calib_dir": calib_dir if iters_w > 0 else "",
                           "eval_dir": test_dir or datasets.DEFAULT_KODAK,
-                          "extra_eval": {n: d for n, d in extra_eval},
+                          "extra_eval": {n: (d if pt is None else
+                                             f"{d}@{pt[0]}x{pt[1]}")
+                                         for n, d, pt in extra_eval},
                           **config}}
     qs = sorted(per_quality)
     if len(qs) >= 4:
@@ -259,7 +267,9 @@ def dataclass_row(res) -> dict:
 
 
 def parse_extra_eval(spec: str):
-    """``name=dir,name=dir`` -> ((name, dir), ...)."""
+    """``name=dir[@HxW],…`` -> ((name, dir, pad_to|None), ...). The
+    optional ``@HxW`` suffix floors that set's padded shape (one jit
+    bucket for varied-shape sets: ``clic=/d/clic41@1792x2048``)."""
     if not spec:
         return ()
     out = []
@@ -267,7 +277,12 @@ def parse_extra_eval(spec: str):
         name, _, d = part.partition("=")
         if not d:
             raise ValueError(f"--extra_eval needs name=dir, got {part!r}")
-        out.append((name, d))
+        d, _, bucket = d.partition("@")
+        pad_to = None
+        if bucket:
+            h, _, w = bucket.lower().partition("x")
+            pad_to = (int(h), int(w))
+        out.append((name, d, pad_to))
     return tuple(out)
 
 

@@ -29,7 +29,9 @@ CALIB_DIR="${CALIB_DIR:-$REFDATA/clic41}"
 # Kodak only by default (act_bits=10 forces a recompile of every padded
 # shape bucket — ~11 per model dims — for one table the reference never
 # publishes per-dataset).
-EXTRA_EVAL="${EXTRA_EVAL:-tecnick=$REFDATA/tecnick100/tecnick/RGB_OR_1200x1200,clic=$REFDATA/clic41}"
+# clic gets a fixed pad bucket (@HxW): 23 unique image sizes would
+# otherwise each pay a remote XLA compile; 1792 covers the one portrait.
+EXTRA_EVAL="${EXTRA_EVAL:-tecnick=$REFDATA/tecnick100/tecnick/RGB_OR_1200x1200,clic=$REFDATA/clic41@1792x2048}"
 EXTRA_EVAL_W10="${EXTRA_EVAL_W10:-}"
 # extra per-arch sweep flags, e.g. SWEEP_FLAGS="--remat --compute_dtype
 # bfloat16" for Lu2022's deep RSTB suffixes
