@@ -54,12 +54,20 @@ def _load_partial(path: str, config: dict):
     except (OSError, ValueError) as e:
         log.warning("ignoring unreadable partial %s: %s", path, e)
         return {}, {}
-    if not isinstance(obj, dict) or obj.get("config") != config:
+    # batch_size is an OPERATIONAL knob, not a result key: device faults
+    # on big units force mid-sweep batch drops (4 -> 2, see ROUND_NOTES),
+    # and discarding completed qualities over it would cost hours. It is
+    # excluded from the match and recorded per quality row instead.
+    pc = dict(obj.get("config", {})) if isinstance(obj, dict) else None
+    partial_bs = pc.pop("batch_size", None) if pc is not None else None
+    cc = {k: v for k, v in config.items() if k != "batch_size"}
+    if pc != cc:
         log.warning("ignoring partial %s: config mismatch (%s != %s)",
-                    path, obj.get("config") if isinstance(obj, dict)
-                    else type(obj), config)
+                    path, pc, cc)
         return {}, {}
     per_quality = {int(k): v for k, v in obj.get("per_quality", {}).items()}
+    for row in per_quality.values():
+        row.setdefault("batch_size", partial_bs)
     anchors = {int(k): v for k, v in obj.get("anchors", {}).items()}
     return per_quality, anchors
 
@@ -225,7 +233,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                           "extra": {name: {"fp32": fp_rows[name],
                                            "quant": q_rows[name]}
                                     for name in extra_images},
-                          "calibration_seconds": round(calib_s, 1)}
+                          "calibration_seconds": round(calib_s, 1),
+                          "batch_size": batch_size}
         os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
         save_partial()
         if os.path.exists(snap):
