@@ -131,6 +131,25 @@ def test_sweep_partial_validation(tmp_path, monkeypatch):
     assert sorted(out["per_quality"]) == [1, 2]
     assert out["per_quality"][1]["fp32"]["psnr"] == 99.0  # resumed row
     assert 9 not in out["per_quality"]
+    # batch_size is operational (device faults force mid-sweep drops):
+    # a partial from batch 4 resumes into a batch-2 run, with each row
+    # recording the batch it was actually calibrated at.
+    with open(out_path + ".partial", "w") as f:
+        json.dump({"config": cfg, "per_quality": {"1": bogus_row}}, f)
+    out = sweep.run(arch="Minnen2018", qualities=(1, 2), iters_w=0,
+                    act_quant=False, out_path=out_path, batch_size=2)
+    assert out["per_quality"][1]["fp32"]["psnr"] == 99.0  # kept
+    assert out["per_quality"][1]["batch_size"] == 4
+    assert out["per_quality"][2]["batch_size"] == 2
+
+
+def test_parse_extra_eval_pad_buckets():
+    from rdoptq_tpu.cli.sweep import parse_extra_eval
+    assert parse_extra_eval("") == ()
+    assert parse_extra_eval("a=/d1,b=/d2@1792x2048") == (
+        ("a", "/d1", None), ("b", "/d2", (1792, 2048)))
+    with pytest.raises(ValueError):
+        parse_extra_eval("noequals")
 
 
 @pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
