@@ -59,18 +59,26 @@ def build_codec_tables(eb_params: E.FactorizedParams,
 # ---------------------------------------------------------------------------
 
 
-def compress_factorized(tables: CodecTables, z: np.ndarray) -> bytes:
-    """z: (1, h, w, C) -> bitstream. Symbols = round(z - median),
+def encode_factorized_symbols(tables: CodecTables,
+                              symbols: np.ndarray) -> bytes:
+    """(1, h, w, C) int32 symbols (= round(z - median)) -> bitstream,
     channel-major order."""
-    z = np.asarray(z)
-    _, h, w, c = z.shape
-    med = tables.medians.reshape(1, 1, 1, c)
-    symbols = np.round(z - med).astype(np.int32)
+    _, h, w, c = symbols.shape
     sym_cm = symbols[0].transpose(2, 0, 1).reshape(-1)  # (C*h*w,)
     idx = np.repeat(np.arange(c, dtype=np.int32), h * w)
     t = tables.factorized
     return rans.encode_with_indexes(sym_cm, idx, t.cdf, t.cdf_lengths,
                                     t.offsets)
+
+
+def compress_factorized(tables: CodecTables, z: np.ndarray) -> bytes:
+    """z: (1, h, w, C) -> bitstream. Symbols = round(z - median),
+    channel-major order."""
+    z = np.asarray(z)
+    c = z.shape[-1]
+    med = tables.medians.reshape(1, 1, 1, c)
+    symbols = np.round(z - med).astype(np.int32)
+    return encode_factorized_symbols(tables, symbols)
 
 
 def decompress_factorized(tables: CodecTables, stream: bytes,
@@ -137,53 +145,97 @@ def _codec_fns(model):
                                          cc_params, i)
         return E.build_indexes(table, scales2), means2
 
+    def z_round(z, med):
+        """Device-side factorized quantization: symbols + exact z_hat.
+        The f32 add `sym + med` is IEEE-exact, so it is bit-identical to
+        the decoder's host-side `decompress_factorized` arithmetic."""
+        sym_f = jnp.round(z - med)
+        return sym_f.astype(jnp.int32), sym_f + med
+
+    def quant_anchor(y_slice, means1):
+        """Encode-only: quantize the anchor positions and build the
+        anchors-reconstructed grid (zeros elsewhere) ON DEVICE, so the
+        slice-serial encode chain needs no host synchronization. The
+        values are bit-identical to the decoder's host-side scatter
+        (`sym + mean` is a single IEEE f32 add on both sides; masked
+        positions are exact +0.0 via where)."""
+        h, w = y_slice.shape[1], y_slice.shape[2]
+        anchor = checkerboard_anchor_mask(h, w)
+        sym_f = jnp.round(y_slice - means1)
+        y_anchor = jnp.where(anchor > 0, sym_f + means1, 0.0)
+        return sym_f.astype(jnp.int32), y_anchor
+
+    def quant_nonanchor(y_slice, means2, y_anchor):
+        h, w = y_slice.shape[1], y_slice.shape[2]
+        anchor = checkerboard_anchor_mask(h, w)
+        sym_f = jnp.round(y_slice - means2)
+        y_full = jnp.where(anchor > 0, y_anchor, sym_f + means2)
+        return sym_f.astype(jnp.int32), y_full
+
     return {"h_s": jax.jit(lambda p, z: model.h_s.run(p, z)),
             "g_s": jax.jit(lambda p, y: model.g_s.run(p, y)),
             "analysis": jax.jit(lambda p, x: (
                 lambda y: (y, model.h_a.run(p, y)))(model.g_a.run(p, x))),
             "pass1": jax.jit(pass1, static_argnums=3),
-            "pass2": jax.jit(pass2, static_argnums=4)}
+            "pass2": jax.jit(pass2, static_argnums=4),
+            "z_round": jax.jit(z_round),
+            "quant_anchor": jax.jit(quant_anchor),
+            "quant_nonanchor": jax.jit(quant_nonanchor)}
 
 
 def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
     """Two-pass checkerboard compression (reference tinylic.py:236-312):
-    slice-serial, spatially parallel; 2 fused device dispatches per slice
-    and one host rANS encode at the end."""
+    slice-serial, spatially parallel.
+
+    Unlike decoding, encoding never needs the rANS coder mid-chain
+    (quantization is just round(y - mean)), so the whole slice-serial
+    chain — analysis, factorized rounding, hyper, and all 5×2
+    conditional passes — is dispatched asynchronously on device with
+    ONE host synchronization at the end (the symbol fetch), then one
+    host rANS encode. Over a remote device link this removes the ~20
+    per-pass round trips that previously dominated the codec
+    wall-clock. The entropy parameters still come from the exact same
+    jitted pass1/pass2 programs the decoder runs (bit-agreement
+    invariant), and the device-side quantize/scatter helpers are
+    bit-identical to the decoder's host arithmetic (see _codec_fns)."""
     fns = _codec_fns(model)
     y, z = fns["analysis"](params, jnp.asarray(x))
-    z_string = compress_factorized(tables, np.asarray(z))
-    # reconstruct z_hat exactly as the decoder will (same host arithmetic,
-    # same jitted h_s) so hyper matches bit-for-bit
-    z_hat = jnp.asarray(decompress_factorized(
-        tables, z_string, (int(z.shape[1]), int(z.shape[2]))))
+    med = jnp.asarray(tables.medians, jnp.float32).reshape(
+        1, 1, 1, -1)
+    z_sym, z_hat = fns["z_round"](z, med)
     hyper = fns["h_s"](params, z_hat)
     h, w = int(y.shape[1]), int(y.shape[2])
-    anchor = np.asarray(checkerboard_anchor_mask(h, w))[0, :, :, 0] > 0
-    splits = list(np.cumsum(model.slices)[:-1])
-    y_slices = np.split(np.asarray(y), splits, axis=-1)
+    splits = [sum(model.slices[:i + 1])
+              for i in range(len(model.slices) - 1)]
+    y_slices = jnp.split(y, splits, axis=-1)
 
-    all_sym, all_idx = [], []
+    sym1s, sym2s, idx1s, idx2s = [], [], [], []
     y_hat_slices = []
-    for i, out_ch in enumerate(model.slices):
+    for i in range(len(model.slices)):
         support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
-        cc_params, idx1_j, means1 = fns["pass1"](params, hyper, support, i)
-        idx1, m1 = np.asarray(idx1_j)[0], np.asarray(means1)[0]
-        sym1 = np.round(y_slices[i][0][anchor] - m1[anchor]).astype(np.int32)
-        y_anchor = np.zeros((h, w, out_ch), np.float32)
-        y_anchor[anchor] = sym1.reshape(-1, out_ch) + m1[anchor]
+        cc_params, idx1, means1 = fns["pass1"](params, hyper, support, i)
+        sym1, y_anchor = fns["quant_anchor"](y_slices[i], means1)
+        idx2, means2 = fns["pass2"](params, hyper, cc_params, y_anchor, i)
+        sym2, y_full = fns["quant_nonanchor"](y_slices[i], means2, y_anchor)
+        y_hat_slices.append(y_full)
+        sym1s.append(sym1)
+        sym2s.append(sym2)
+        idx1s.append(idx1)
+        idx2s.append(idx2)
 
-        idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
-                                      jnp.asarray(y_anchor[None]), i)
-        idx2, m2 = np.asarray(idx2_j)[0], np.asarray(means2)[0]
-        sym2 = np.round(y_slices[i][0][~anchor] - m2[~anchor]).astype(
-            np.int32)
-        y_full = y_anchor
-        y_full[~anchor] = sym2.reshape(-1, out_ch) + m2[~anchor]
-        y_hat_slices.append(jnp.asarray(y_full[None]))
+    # the single host synchronization for the whole image
+    z_sym, sym1s, sym2s, idx1s, idx2s, anchor = jax.device_get(
+        (z_sym, sym1s, sym2s, idx1s, idx2s,
+         checkerboard_anchor_mask(h, w)))
+    anchor = anchor[0, :, :, 0] > 0
 
-        all_sym += [sym1.reshape(-1), sym2.reshape(-1)]
-        all_idx += [idx1[anchor].reshape(-1), idx2[~anchor].reshape(-1)]
-
+    z_string = encode_factorized_symbols(tables, z_sym)
+    all_sym, all_idx = [], []
+    for i in range(len(model.slices)):
+        all_sym += [sym1s[i][0][anchor].reshape(-1),
+                    sym2s[i][0][~anchor].reshape(-1)]
+        all_idx += [idx1s[i][0][anchor].reshape(-1),
+                    idx2s[i][0][~anchor].reshape(-1)]
     g = tables.gaussian
     y_string = rans.encode_with_indexes(
         np.concatenate(all_sym), np.concatenate(all_idx), g.cdf,
@@ -213,7 +265,11 @@ def tinylic_decompress(model, params, strings: List[bytes],
     for i, out_ch in enumerate(model.slices):
         support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
         cc_params, idx1_j, means1 = fns["pass1"](params, hyper, support, i)
-        idx1, m1 = np.asarray(idx1_j)[0], np.asarray(means1)[0]
+        # one batched fetch per pass (indexes + means together): the
+        # decode chain's host syncs are its wall-clock floor on a
+        # remote device link
+        idx1, m1 = jax.device_get((idx1_j, means1))
+        idx1, m1 = idx1[0], m1[0]
         sym1 = dec.decode(idx1[anchor].reshape(-1), g.cdf, g.cdf_lengths,
                           g.offsets)
         y_anchor = np.zeros((h, w, out_ch), np.float32)
@@ -221,7 +277,8 @@ def tinylic_decompress(model, params, strings: List[bytes],
 
         idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
                                       jnp.asarray(y_anchor[None]), i)
-        idx2, m2 = np.asarray(idx2_j)[0], np.asarray(means2)[0]
+        idx2, m2 = jax.device_get((idx2_j, means2))
+        idx2, m2 = idx2[0], m2[0]
         sym2 = dec.decode(idx2[~anchor].reshape(-1), g.cdf, g.cdf_lengths,
                           g.offsets)
         y_full = y_anchor
@@ -235,5 +292,5 @@ def tinylic_decompress(model, params, strings: List[bytes],
 
 
 __all__ = ["CodecTables", "build_codec_tables", "compress_factorized",
-           "decompress_factorized", "gaussian_symbols", "tinylic_compress",
-           "tinylic_decompress"]
+           "decompress_factorized", "encode_factorized_symbols",
+           "gaussian_symbols", "tinylic_compress", "tinylic_decompress"]
