@@ -31,8 +31,8 @@ import numpy as np
 from ..models.layers import causal_mask
 from ..ops import entropy as E
 from . import rans
-from .codec import (CodecTables, compress_factorized,
-                    decompress_factorized)
+from .codec import (CodecTables, decompress_factorized,
+                    encode_factorized_symbols, factorized_round)
 
 
 @functools.lru_cache(maxsize=None)
@@ -120,7 +120,9 @@ def _wave_fns(model, h: int, w: int):
 
     def encode_scan(params, y, hyper):
         """Full encode pass on device: scan over waves producing symbols
-        (T, P) and scale values (T, P, M) in canonical order."""
+        (T, P) and CDF indexes (T, P) in canonical order. The indexes are
+        built per wave with the same `build_indexes` math as decode_step,
+        so both sides of the bitstream agree bitwise."""
         T = pixels.shape[0]
         P = pixels.shape[1]
         valid = jnp.asarray(
@@ -129,6 +131,7 @@ def _wave_fns(model, h: int, w: int):
 
         def step(buf, t):
             scales, means = wave_params(params, buf, hyper, t)
+            idx = E.build_indexes(E.default_scale_table(), scales)
             pts = pixels_j[t]
             y_vals = jax.vmap(
                 lambda pt: jax.lax.dynamic_slice(y, (pt[0], pt[1], 0),
@@ -136,11 +139,11 @@ def _wave_fns(model, h: int, w: int):
             sym = jnp.round(y_vals - means).astype(jnp.int32)
             y_hat_vals = sym.astype(y.dtype) + means
             buf = wave_update(buf, t, y_hat_vals, valid[t])
-            return buf, (sym, scales)
+            return buf, (sym, idx)
 
-        buf, (syms, scales) = jax.lax.scan(step, y_hat_pad,
-                                           jnp.arange(T))
-        return buf[2:-2, 2:-2, :], syms, scales
+        buf, (syms, idxs) = jax.lax.scan(step, y_hat_pad,
+                                         jnp.arange(T))
+        return buf[2:-2, 2:-2, :], syms, idxs
 
     def decode_step(params, y_hat_pad, hyper, t, prev_vals, prev_valid):
         """Fused decode step: scatter wave t-1's decoded values, then
@@ -159,8 +162,10 @@ def _wave_fns(model, h: int, w: int):
 
 
 def ar_compress(model, params, x, tables: CodecTables) -> Dict:
-    """Compress with the causal-context codec. All transform and context
-    math on device; a single host rANS encode at the end."""
+    """Compress with the causal-context codec. All transform, context and
+    index math on device (asynchronously dispatched); ONE host
+    synchronization for the symbol/index fetch, then one host rANS
+    encode."""
     @jax.jit
     def analysis(params, x):
         y = model.g_a.run(params, x)
@@ -168,21 +173,19 @@ def ar_compress(model, params, x, tables: CodecTables) -> Dict:
         return y, z
 
     y, z = analysis(params, jnp.asarray(x))
-    z_string = compress_factorized(tables, np.asarray(z))
-    z_hat = jnp.asarray(decompress_factorized(
-        tables, z_string, (int(z.shape[1]), int(z.shape[2]))))
+    med = jnp.asarray(tables.medians, jnp.float32).reshape(1, 1, 1, -1)
+    z_sym, z_hat = factorized_round(z, med)
     hyper = _hyper_fn(model)(params, z_hat)
 
     h, w = int(y.shape[1]), int(y.shape[2])
     fns = _wave_fns(model, h, w)
-    _, syms, scales = fns["encode_scan"](params, y[0], hyper[0])
+    _, syms, idxs = fns["encode_scan"](params, y[0], hyper[0])
+    # the single host synchronization for the whole image
+    z_sym, syms_np, idx_all = jax.device_get((z_sym, syms, idxs))
+    z_string = encode_factorized_symbols(tables, z_sym)
     # canonical flatten: wave order, valid slots, channel-major per pixel
     counts = fns["counts"]
-    syms_np = np.asarray(syms)
-    scales_np = np.asarray(scales)
     sym_list, idx_list = [], []
-    table_j = jnp.asarray(tables.scale_table)
-    idx_all = np.asarray(E.build_indexes(table_j, jnp.asarray(scales_np)))
     for t in range(syms_np.shape[0]):
         n = counts[t]
         if n == 0:

@@ -59,6 +59,15 @@ def build_codec_tables(eb_params: E.FactorizedParams,
 # ---------------------------------------------------------------------------
 
 
+@jax.jit
+def factorized_round(z, med):
+    """Device-side factorized quantization: (int32 symbols, exact z_hat).
+    The f32 add `sym + med` is IEEE-exact, so z_hat is bit-identical to
+    the decoder's host-side `decompress_factorized` arithmetic."""
+    sym_f = jnp.round(z - med)
+    return sym_f.astype(jnp.int32), sym_f + med
+
+
 def encode_factorized_symbols(tables: CodecTables,
                               symbols: np.ndarray) -> bytes:
     """(1, h, w, C) int32 symbols (= round(z - median)) -> bitstream,
@@ -145,13 +154,6 @@ def _codec_fns(model):
                                          cc_params, i)
         return E.build_indexes(table, scales2), means2
 
-    def z_round(z, med):
-        """Device-side factorized quantization: symbols + exact z_hat.
-        The f32 add `sym + med` is IEEE-exact, so it is bit-identical to
-        the decoder's host-side `decompress_factorized` arithmetic."""
-        sym_f = jnp.round(z - med)
-        return sym_f.astype(jnp.int32), sym_f + med
-
     def quant_anchor(y_slice, means1):
         """Encode-only: quantize the anchor positions and build the
         anchors-reconstructed grid (zeros elsewhere) ON DEVICE, so the
@@ -178,7 +180,7 @@ def _codec_fns(model):
                 lambda y: (y, model.h_a.run(p, y)))(model.g_a.run(p, x))),
             "pass1": jax.jit(pass1, static_argnums=3),
             "pass2": jax.jit(pass2, static_argnums=4),
-            "z_round": jax.jit(z_round),
+            "z_round": factorized_round,
             "quant_anchor": jax.jit(quant_anchor),
             "quant_nonanchor": jax.jit(quant_nonanchor)}
 
