@@ -74,3 +74,20 @@ def test_tinylic_codec_rate_matches_likelihoods(tiny_codec):
     est_bits = float(sum(-jnp.sum(jnp.log2(l))
                          for l in fwd["likelihoods"].values()))
     assert actual_bits < est_bits * 1.25 + 512
+
+
+def test_factorized_round_bitwise_matches_host(eb_tables):
+    """The encoder's device-side factorized quantization must reproduce
+    the decoder's host arithmetic BIT-exactly: tinylic_compress/
+    ar_compress feed `factorized_round`'s z_hat into h_s while the
+    decoder feeds `decompress_factorized`'s output — one ulp of drift
+    would desynchronize every conditional entropy parameter."""
+    params, tables = eb_tables
+    z = jax.random.normal(jax.random.PRNGKey(7), (1, 8, 8, 8)) * 3.0
+    med = jnp.asarray(tables.medians, jnp.float32).reshape(1, 1, 1, -1)
+    z_sym, z_hat_dev = codec.factorized_round(z, med)
+    stream = codec.encode_factorized_symbols(tables, np.asarray(z_sym))
+    z_hat_host = codec.decompress_factorized(tables, stream, (8, 8))
+    assert np.array_equal(np.asarray(z_hat_dev), z_hat_host)
+    # and the legacy host-side compressor emits the identical stream
+    assert stream == codec.compress_factorized(tables, np.asarray(z))
