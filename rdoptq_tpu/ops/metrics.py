@@ -71,15 +71,25 @@ def _downsample2(x: jax.Array) -> jax.Array:
 
 
 def ms_ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
-    """Multi-scale SSIM, 5 scales, standard weights (pytorch_msssim
-    semantics — requires min(H, W) > 160 for full 5 scales)."""
+    """Multi-scale SSIM, 5 scales, standard weights — identical to
+    pytorch_msssim for min(H, W) > 160. Below that (where the coarsest
+    scale would be smaller than the 11-pixel SSIM window and the metric
+    would silently produce NaN; pytorch_msssim asserts the bound) the
+    scale count adapts to the input with the kept weights renormalized,
+    so tiny-image tests/evals stay finite."""
+    n_scales = len(_MSSSIM_WEIGHTS)
+    smallest = min(a.shape[1], a.shape[2])
+    while n_scales > 1 and smallest // (2 ** (n_scales - 1)) < 11:
+        n_scales -= 1
     win = _gaussian_kernel()
-    weights = jnp.asarray(_MSSSIM_WEIGHTS)
+    weights = jnp.asarray(_MSSSIM_WEIGHTS[:n_scales])
+    if n_scales < len(_MSSSIM_WEIGHTS):  # keep the standard path exact
+        weights = weights / jnp.sum(weights)
     vals = []
-    for i in range(len(_MSSSIM_WEIGHTS)):
+    for i in range(n_scales):
         s, cs = _ssim_components(a, b, win, max_val)
-        vals.append(s if i == len(_MSSSIM_WEIGHTS) - 1 else cs)
-        if i < len(_MSSSIM_WEIGHTS) - 1:
+        vals.append(s if i == n_scales - 1 else cs)
+        if i < n_scales - 1:
             a, b = _downsample2(a), _downsample2(b)
     vals = jnp.stack(vals)
     return jnp.prod(jnp.maximum(vals, 1e-8) ** weights)
