@@ -31,7 +31,10 @@ def main(art_dir: str = "artifacts"):
             continue
         bd = d.get("bd_rate_pct")
         bdp = d.get("bd_psnr_db")
-        print(f"\n### {name} — {d['arch']} W{d['n_bits_w']}A{d['n_bits_a']}"
+        prov = d.get("provenance", {})
+        bits = (f"W{d['n_bits_w']}A{d['n_bits_a']}"
+                if prov.get("act_quant") else f"W{d['n_bits_w']}")
+        print(f"\n### {name} — {d['arch']} {bits}"
               + (f"  BD-rate {bd:+.2f}%  BD-PSNR {bdp:+.3f} dB"
                  if bd is not None else ""))
         for key, blk in sorted(d.items()):
