@@ -291,10 +291,22 @@ def layer_norm(p: Params, x: jax.Array, eps: float = 1e-5) -> jax.Array:
 
 
 def gdn(p: Params, x: jax.Array, inverse: bool = False,
-        beta_min: float = 1e-6) -> jax.Array:
+        beta_min: float = 1e-6, use_pallas: bool = None) -> jax.Array:
     """(Inverse) generalized divisive normalization:
     y = x / sqrt(beta + gamma * x²) via a 1x1 conv over channels
-    (functional form of the reference's f_gdn, quant_layer.py:142-154)."""
+    (functional form of the reference's f_gdn, quant_layer.py:142-154).
+    ``use_pallas`` (default: ops.pallas_gdn.PALLAS_GDN_DEFAULT) routes
+    the forward through the fused single-HBM-pass TPU kernel; gradients
+    always take this jnp formula (custom VJP)."""
+    if use_pallas is None:
+        from ..ops import pallas_gdn
+        use_pallas = pallas_gdn.PALLAS_GDN_DEFAULT
+    if use_pallas:
+        from ..ops import pallas_gdn
+        c = x.shape[-1]
+        return pallas_gdn.gdn_pallas(
+            x, _match(x, p["gamma"]).reshape(c, c), _match(x, p["beta"]),
+            inverse, beta_min)
     gamma = jnp.maximum(_match(x, p["gamma"]), 0.0)
     beta = jnp.maximum(_match(x, p["beta"]), beta_min)
     norm = jax.lax.conv_general_dilated(

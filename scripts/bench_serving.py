@@ -94,6 +94,19 @@ def forward_bench(arch: str, quality: int, x) -> dict:
     res["int8_static_speedup_vs_fp32"] = (res["fp32_s"]
                                           / res["int8_static_s"])
 
+    # fused Pallas GDN (single HBM pass: square + channel dot + rsqrt in
+    # one VMEM residency) — only meaningful for the GDN models
+    if arch in ("Minnen2018", "Cheng2020"):
+        from rdoptq_tpu.ops import pallas_gdn
+        pallas_gdn.PALLAS_GDN_DEFAULT = True
+        try:
+            fwd_pg = make_scan_fwd(model, REPS)
+            res["pallas_gdn_s"] = timed(fwd_pg, params, x)
+            res["pallas_gdn_speedup_vs_fp32"] = (res["fp32_s"]
+                                                 / res["pallas_gdn_s"])
+        finally:
+            pallas_gdn.PALLAS_GDN_DEFAULT = False
+
     # W8 storage -> bf16 compute: int8 artifact dequantized ONCE at load
     # (not per forward), tree-cast to bf16 — 4x smaller artifact at bf16
     # speed (quant/light.dequantized_params + cast_params)
@@ -215,6 +228,15 @@ def main():
         print("== codec bench TinyLIC (kodim01)")
         results["codec_tinylic"] = codec_bench(kodim)
         print(json.dumps(results["codec_tinylic"], indent=2))
+
+    # 2K image: the size class of the reference's headline codec timings
+    # (single_test.ipynb cells 6/15: 0.323 s enc / 0.294 s dec FP32 on a
+    # CUDA GPU)
+    clic2k = ("/root/reference/task-oriented-PTQ/datasets/clic41/002.png")
+    if os.path.exists(clic2k):
+        print("== codec bench TinyLIC (CLIC 2048x1339)")
+        results["codec_tinylic_2k"] = codec_bench(clic2k)
+        print(json.dumps(results["codec_tinylic_2k"], indent=2))
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/serving_bench.json", "w") as f:
