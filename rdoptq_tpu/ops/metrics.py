@@ -72,9 +72,10 @@ def _downsample2(x: jax.Array) -> jax.Array:
 
 def ms_ssim(a: jax.Array, b: jax.Array, max_val: float = 1.0) -> jax.Array:
     """Multi-scale SSIM, 5 scales, standard weights — identical to
-    pytorch_msssim for min(H, W) > 160. Below that (where the coarsest
-    scale would be smaller than the 11-pixel SSIM window and the metric
-    would silently produce NaN; pytorch_msssim asserts the bound) the
+    pytorch_msssim for min(H, W) >= 176 (the smallest size whose 5th
+    scale still covers the 11-pixel SSIM window; pytorch_msssim asserts
+    a looser >160). Below that — where the coarsest scale would be
+    smaller than the window and the metric silently produced NaN — the
     scale count adapts to the input with the kept weights renormalized,
     so tiny-image tests/evals stay finite."""
     n_scales = len(_MSSSIM_WEIGHTS)
