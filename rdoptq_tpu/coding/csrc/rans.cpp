@@ -93,6 +93,39 @@ struct RansDecoder {
   }
 };
 
+// -------------------------------------------------------------------------
+// Bucketed CDF lookup table: decode's per-symbol binary search (the decode
+// throughput bottleneck — ~9 dependent branch+load iterations per symbol)
+// becomes one table load + a short forward scan. Row r maps the top
+// kLutBits of the 16-bit probability value d to the largest symbol s with
+// cdf[s] <= bucket_start; the scan advances while cdf[s+1] <= d (bounded
+// by the symbols crossing one bucket, usually 0-2 for peaked rows).
+// -------------------------------------------------------------------------
+
+constexpr uint32_t kLutBits = 12;
+
+struct CdfLut {
+  std::vector<uint16_t> rows;  // n_rows * 2^kLutBits
+};
+
+inline uint32_t decode_symbol_lut(uint32_t d, const int32_t* cdf,
+                                  const uint16_t* lut_row) {
+  uint32_t s = lut_row[d >> (kPrecision - kLutBits)];
+  // cdf[len-1] == 2^16 > d always, so the scan terminates in range
+  while (static_cast<uint32_t>(cdf[s + 1]) <= d) ++s;
+  return s;
+}
+
+inline uint32_t decode_symbol_search(uint32_t d, const int32_t* cdf,
+                                     int cdf_len) {
+  int lo = 0, hi = cdf_len - 1;
+  while (hi - lo > 1) {
+    const int mid = (lo + hi) >> 1;
+    if (static_cast<uint32_t>(cdf[mid]) <= d) lo = mid; else hi = mid;
+  }
+  return static_cast<uint32_t>(lo);
+}
+
 // Map an escaped value to the unsigned overflow code and back.
 // Escape fires when value < 0 or value >= max_value (the last CDF bin).
 inline uint32_t overflow_code(int32_t value, int32_t max_value) {
@@ -203,13 +236,11 @@ long rdoptq_rans_encode(const int32_t* symbols, const int32_t* indexes,
 
 // Decode `n` symbols from `stream` using the same CDF matrix contract as
 // the encoder. Returns 0 on success.
-int rdoptq_rans_decode(const uint8_t* stream, long nbytes,
-                       const int32_t* indexes, long n, const int32_t* cdfs,
-                       int cdf_stride, const int32_t* cdf_lengths,
-                       const int32_t* offsets, int32_t* out_symbols) {
-  if (nbytes < 8) return -1;
-  RansDecoder dec;
-  dec.init(stream, static_cast<size_t>(nbytes));
+// Shared decode loop; `lut` may be null (binary-search fallback).
+static int decode_loop(RansDecoder& dec, const int32_t* indexes, long n,
+                       const int32_t* cdfs, int cdf_stride,
+                       const int32_t* cdf_lengths, const int32_t* offsets,
+                       const CdfLut* lut, int32_t* out_symbols) {
   for (long i = 0; i < n; ++i) {
     const int32_t idx = indexes[i];
     const int32_t* cdf = cdfs + static_cast<long>(idx) * cdf_stride;
@@ -217,13 +248,11 @@ int rdoptq_rans_decode(const uint8_t* stream, long nbytes,
     const int32_t max_value = cdf_len - 2;
 
     const uint32_t d = dec.peek();
-    // binary search: largest s with cdf[s] <= d
-    int lo = 0, hi = cdf_len - 1;
-    while (hi - lo > 1) {
-      const int mid = (lo + hi) >> 1;
-      if (static_cast<uint32_t>(cdf[mid]) <= d) lo = mid; else hi = mid;
-    }
-    const uint32_t sym = static_cast<uint32_t>(lo);
+    const uint32_t sym =
+        lut ? decode_symbol_lut(
+                  d, cdf, lut->rows.data()
+                              + (static_cast<size_t>(idx) << kLutBits))
+            : decode_symbol_search(d, cdf, cdf_len);
     const uint32_t start = static_cast<uint32_t>(cdf[sym]);
     const uint32_t freq = static_cast<uint32_t>(cdf[sym + 1]) - start;
     dec.advance(start, freq);
@@ -244,6 +273,55 @@ int rdoptq_rans_decode(const uint8_t* stream, long nbytes,
     out_symbols[i] = value + offsets[idx];
   }
   return 0;
+}
+
+void* rdoptq_cdf_lut_new(const int32_t* cdfs, int cdf_stride,
+                         const int32_t* cdf_lengths, int n_rows) {
+  auto* l = new CdfLut();
+  l->rows.resize(static_cast<size_t>(n_rows) << kLutBits);
+  for (int r = 0; r < n_rows; ++r) {
+    const int32_t* cdf = cdfs + static_cast<long>(r) * cdf_stride;
+    const int len = cdf_lengths[r];  // entries; symbols live in [0, len-2]
+    uint16_t* row = l->rows.data() + (static_cast<size_t>(r) << kLutBits);
+    uint32_t s = 0;
+    for (uint32_t bkt = 0; bkt < (1u << kLutBits); ++bkt) {
+      const uint32_t d0 = bkt << (kPrecision - kLutBits);
+      while (s + 2 < static_cast<uint32_t>(len)
+             && static_cast<uint32_t>(cdf[s + 1]) <= d0) {
+        ++s;
+      }
+      row[bkt] = static_cast<uint16_t>(s);
+    }
+  }
+  return l;
+}
+
+void rdoptq_cdf_lut_free(void* handle) {
+  delete static_cast<CdfLut*>(handle);
+}
+
+int rdoptq_rans_decode(const uint8_t* stream, long nbytes,
+                       const int32_t* indexes, long n, const int32_t* cdfs,
+                       int cdf_stride, const int32_t* cdf_lengths,
+                       const int32_t* offsets, int32_t* out_symbols) {
+  if (nbytes < 8) return -1;
+  RansDecoder dec;
+  dec.init(stream, static_cast<size_t>(nbytes));
+  return decode_loop(dec, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, nullptr, out_symbols);
+}
+
+int rdoptq_rans_decode_lut(const uint8_t* stream, long nbytes,
+                           const int32_t* indexes, long n,
+                           const int32_t* cdfs, int cdf_stride,
+                           const int32_t* cdf_lengths,
+                           const int32_t* offsets, void* lut,
+                           int32_t* out_symbols) {
+  if (nbytes < 8) return -1;
+  RansDecoder dec;
+  dec.init(stream, static_cast<size_t>(nbytes));
+  return decode_loop(dec, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, static_cast<const CdfLut*>(lut), out_symbols);
 }
 
 // ---------------------------------------------------------------------------
@@ -271,37 +349,19 @@ int rdoptq_rans_dec_chunk(void* handle, const int32_t* indexes, long n,
                           int32_t* out_symbols) {
   if (!handle) return -1;
   auto* sd = static_cast<StreamDecoder*>(handle);
-  RansDecoder& dec = sd->dec;
-  for (long i = 0; i < n; ++i) {
-    const int32_t idx = indexes[i];
-    const int32_t* cdf = cdfs + static_cast<long>(idx) * cdf_stride;
-    const int32_t cdf_len = cdf_lengths[idx];
-    const int32_t max_value = cdf_len - 2;
-    const uint32_t d = dec.peek();
-    int lo = 0, hi = cdf_len - 1;
-    while (hi - lo > 1) {
-      const int mid = (lo + hi) >> 1;
-      if (static_cast<uint32_t>(cdf[mid]) <= d) lo = mid; else hi = mid;
-    }
-    const uint32_t sym = static_cast<uint32_t>(lo);
-    const uint32_t start = static_cast<uint32_t>(cdf[sym]);
-    const uint32_t freq = static_cast<uint32_t>(cdf[sym + 1]) - start;
-    dec.advance(start, freq);
-    int32_t value = static_cast<int32_t>(sym);
-    if (value == max_value) {
-      uint32_t code = 0, shift = 0;
-      while (true) {
-        const uint32_t chunk = dec.get_bits(kChunkBits);
-        code |= chunk << shift;
-        shift += kChunkBits;
-        const uint32_t cont = dec.get_bits(1);
-        if (!cont || shift >= 64) break;
-      }
-      value = overflow_value(code, max_value);
-    }
-    out_symbols[i] = value + offsets[idx];
-  }
-  return 0;
+  return decode_loop(sd->dec, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, nullptr, out_symbols);
+}
+
+int rdoptq_rans_dec_chunk_lut(void* handle, const int32_t* indexes, long n,
+                              const int32_t* cdfs, int cdf_stride,
+                              const int32_t* cdf_lengths,
+                              const int32_t* offsets, void* lut,
+                              int32_t* out_symbols) {
+  if (!handle) return -1;
+  auto* sd = static_cast<StreamDecoder*>(handle);
+  return decode_loop(sd->dec, indexes, n, cdfs, cdf_stride, cdf_lengths,
+                     offsets, static_cast<const CdfLut*>(lut), out_symbols);
 }
 
 void rdoptq_rans_dec_free(void* handle) {

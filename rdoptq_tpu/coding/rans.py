@@ -64,8 +64,54 @@ def _load() -> ctypes.CDLL:
             ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p]
         lib.rdoptq_rans_dec_free.restype = None
         lib.rdoptq_rans_dec_free.argtypes = [ctypes.c_void_p]
+        lib.rdoptq_cdf_lut_new.restype = ctypes.c_void_p
+        lib.rdoptq_cdf_lut_new.argtypes = [
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_int]
+        lib.rdoptq_cdf_lut_free.restype = None
+        lib.rdoptq_cdf_lut_free.argtypes = [ctypes.c_void_p]
+        lib.rdoptq_rans_decode_lut.restype = ctypes.c_int
+        lib.rdoptq_rans_decode_lut.argtypes = [
+            ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p, ctypes.c_long,
+            ctypes.c_void_p, ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p, ctypes.c_void_p]
+        lib.rdoptq_rans_dec_chunk_lut.restype = ctypes.c_int
+        lib.rdoptq_rans_dec_chunk_lut.argtypes = [
+            ctypes.c_void_p, ctypes.c_void_p, ctypes.c_long, ctypes.c_void_p,
+            ctypes.c_int, ctypes.c_void_p, ctypes.c_void_p, ctypes.c_void_p,
+            ctypes.c_void_p]
         _lib = lib
         return lib
+
+
+class _CdfLutCache:
+    """Bucket-LUT handles for CDF tables (decode fast path). Keyed by the
+    converted table's (data pointer, shape); entries hold a strong
+    reference to the array so the pointer stays valid and unique. Tables
+    are built once per model (coding/cdf.py), so this hits every decode
+    after the first."""
+
+    def __init__(self, capacity: int = 16):
+        self._cap = capacity
+        self._entries = {}  # key -> (cdf_array, lengths_array, handle)
+
+    def get(self, cdf: np.ndarray, lengths: np.ndarray) -> int:
+        key = (cdf.ctypes.data, cdf.shape)
+        ent = self._entries.get(key)
+        if ent is not None and ent[0] is cdf:
+            return ent[2]
+        lib = _load()
+        if len(self._entries) >= self._cap:
+            for _, _, h in self._entries.values():
+                lib.rdoptq_cdf_lut_free(h)
+            self._entries.clear()
+        handle = lib.rdoptq_cdf_lut_new(
+            cdf.ctypes.data, cdf.shape[1], lengths.ctypes.data,
+            cdf.shape[0])
+        self._entries[key] = (cdf, lengths, handle)
+        return handle
+
+
+_lut_cache = _CdfLutCache()
 
 
 def _as_i32(a) -> np.ndarray:
@@ -116,8 +162,10 @@ def encode_with_indexes(symbols, indexes, cdfs, cdf_lengths, offsets) -> bytes:
 
 
 def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths,
-                        offsets) -> np.ndarray:
-    """Inverse of :func:`encode_with_indexes`; returns int32 symbols."""
+                        offsets, use_lut: bool = True) -> np.ndarray:
+    """Inverse of :func:`encode_with_indexes`; returns int32 symbols.
+    ``use_lut`` routes symbol resolution through the cached bucket LUT
+    (one load + short scan) instead of the per-symbol binary search."""
     lib = _load()
     idx = _as_i32(indexes).ravel()
     cdf = _as_i32(cdfs)
@@ -125,10 +173,17 @@ def decode_with_indexes(stream: bytes, indexes, cdfs, cdf_lengths,
     offs = _as_i32(offsets).ravel()
     buf = np.frombuffer(stream, dtype=np.uint8)
     out = np.empty(idx.size, dtype=np.int32)
-    rc = lib.rdoptq_rans_decode(
-        buf.ctypes.data, buf.size, idx.ctypes.data, idx.size,
-        cdf.ctypes.data, cdf.shape[1], lengths.ctypes.data,
-        offs.ctypes.data, out.ctypes.data)
+    if use_lut:
+        rc = lib.rdoptq_rans_decode_lut(
+            buf.ctypes.data, buf.size, idx.ctypes.data, idx.size,
+            cdf.ctypes.data, cdf.shape[1], lengths.ctypes.data,
+            offs.ctypes.data, _lut_cache.get(cdf, lengths),
+            out.ctypes.data)
+    else:
+        rc = lib.rdoptq_rans_decode(
+            buf.ctypes.data, buf.size, idx.ctypes.data, idx.size,
+            cdf.ctypes.data, cdf.shape[1], lengths.ctypes.data,
+            offs.ctypes.data, out.ctypes.data)
     if rc != 0:
         raise RuntimeError(f"rANS decode failed (rc={rc})")
     return out
@@ -148,16 +203,23 @@ class RansDecoderStream:
         if not self._handle:
             raise ValueError("invalid rANS stream")
 
-    def decode(self, indexes, cdfs, cdf_lengths, offsets) -> np.ndarray:
+    def decode(self, indexes, cdfs, cdf_lengths, offsets,
+               use_lut: bool = True) -> np.ndarray:
         idx = _as_i32(indexes).ravel()
         cdf = _as_i32(cdfs)
         lengths = _as_i32(cdf_lengths).ravel()
         offs = _as_i32(offsets).ravel()
         out = np.empty(idx.size, dtype=np.int32)
-        rc = self._lib.rdoptq_rans_dec_chunk(
-            self._handle, idx.ctypes.data, idx.size, cdf.ctypes.data,
-            cdf.shape[1], lengths.ctypes.data, offs.ctypes.data,
-            out.ctypes.data)
+        if use_lut:
+            rc = self._lib.rdoptq_rans_dec_chunk_lut(
+                self._handle, idx.ctypes.data, idx.size, cdf.ctypes.data,
+                cdf.shape[1], lengths.ctypes.data, offs.ctypes.data,
+                _lut_cache.get(cdf, lengths), out.ctypes.data)
+        else:
+            rc = self._lib.rdoptq_rans_dec_chunk(
+                self._handle, idx.ctypes.data, idx.size, cdf.ctypes.data,
+                cdf.shape[1], lengths.ctypes.data, offs.ctypes.data,
+                out.ctypes.data)
         if rc != 0:
             raise RuntimeError(f"rANS chunk decode failed (rc={rc})")
         return out

@@ -56,6 +56,14 @@ def main():
         dec_s = (time.time() - t0) / REPS
         assert np.array_equal(dec, sym)
 
+        t0 = time.time()
+        for _ in range(REPS):
+            dec2 = rans.decode_with_indexes(stream, idx, g.cdf,
+                                            g.cdf_lengths, g.offsets,
+                                            use_lut=False)
+        dec_search_s = (time.time() - t0) / REPS
+        assert np.array_equal(dec2, sym)
+
         # empirical entropy of the symbol stream under the model
         _, counts = np.unique(sym, return_counts=True)
         ent_bits = float(-(counts / n * np.log2(counts / n)).sum() * n)
@@ -63,6 +71,7 @@ def main():
             "n_symbols": int(n),
             "encode_msym_per_s": round(n / enc_s / 1e6, 2),
             "decode_msym_per_s": round(n / dec_s / 1e6, 2),
+            "decode_binsearch_msym_per_s": round(n / dec_search_s / 1e6, 2),
             "stream_bytes": len(stream),
             "bits_per_symbol": round(len(stream) * 8 / n, 4),
             "marginal_entropy_bps": round(ent_bits / n, 4),

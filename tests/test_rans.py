@@ -139,3 +139,39 @@ def test_factorized_table_roundtrip():
     decoded = rans.decode_with_indexes(stream, chan, ct.cdf,
                                        ct.cdf_lengths, ct.offsets)
     assert np.array_equal(decoded, symbols)
+
+
+def test_lut_decode_matches_binary_search():
+    """The bucket-LUT fast path must resolve the identical symbols as the
+    binary search on a workload that exercises escapes (values beyond the
+    CDF support) and every table row."""
+    rng = np.random.default_rng(11)
+    n_rows, support = 7, 13
+    pmfs = rng.random((n_rows, support)) + 0.01
+    rows = []
+    for r in range(n_rows):
+        pmf = pmfs[r] / pmfs[r].sum() * 0.99
+        rows.append(rans.pmf_to_quantized_cdf(list(pmf) + [0.01]))
+    stride = max(len(c) for c in rows)
+    cdfs = np.zeros((n_rows, stride), np.int32)
+    for r, c in enumerate(rows):
+        cdfs[r, :len(c)] = c
+    lengths = np.asarray([len(c) for c in rows], np.int32)
+    offsets = np.asarray([-3] * n_rows, np.int32)
+
+    sym = rng.integers(-9, support + 6, size=5000).astype(np.int32)
+    idx = rng.integers(0, n_rows, size=5000).astype(np.int32)
+    stream = rans.encode_with_indexes(sym, idx, cdfs, lengths, offsets)
+    d_lut = rans.decode_with_indexes(stream, idx, cdfs, lengths, offsets,
+                                     use_lut=True)
+    d_bin = rans.decode_with_indexes(stream, idx, cdfs, lengths, offsets,
+                                     use_lut=False)
+    assert np.array_equal(d_lut, sym)
+    assert np.array_equal(d_bin, sym)
+
+    dec = rans.RansDecoderStream(stream)
+    half = 2500
+    a = dec.decode(idx[:half], cdfs, lengths, offsets, use_lut=True)
+    b = dec.decode(idx[half:], cdfs, lengths, offsets, use_lut=False)
+    dec.close()
+    assert np.array_equal(np.concatenate([a, b]), sym)
