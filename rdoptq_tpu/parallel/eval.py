@@ -95,4 +95,54 @@ def evaluate_sharded(model, params, images: Sequence[np.ndarray], mesh,
                       bpp=mean("bpp"), per_image=per_image, seconds=secs)
 
 
-__all__ = ["make_batch_eval", "evaluate_sharded"]
+def evaluate_spatial(model, params, images: Sequence[np.ndarray], mesh,
+                     ctx: QuantCtx = NULL_CTX,
+                     pad_multiple: int = 64) -> EvalResult:
+    """Sequence-parallel analogue (SURVEY §5 long-context): ONE image per
+    dispatch with its H axis sharded over the mesh's dp devices — for
+    2K-class images (Tecnick 1200², CLIC 2048×1365) whose per-image
+    activation footprint is the scaling limit, rather than image count.
+    GSPMD inserts the conv halo exchanges at shard edges; H is padded to
+    ``pad_multiple * dp`` so every ×2-downsampled activation still
+    shards evenly. Metrics are computed on the padded canvas (pad is
+    constant-zero); bpp stays normalized by the original pixel count.
+
+    Intended for the conv transforms (Minnen2018 / Cheng2020 / TinyLIC
+    stages); window-attention models reshape H into windows, which
+    GSPMD re-layouts less efficiently."""
+    dp = mesh.shape["dp"]
+    unit = pad_multiple * dp
+    params = mesh_lib.replicate_tree(params, mesh)
+    sp_sh = mesh_lib.spatial_sharding(mesh)
+    repl = mesh_lib.replicated(mesh)
+
+    @jax.jit
+    def run(params, x_pad):
+        out = model.forward(params, x_pad, ctx=ctx)
+        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
+        bits = sum(-jnp.sum(jnp.log2(l))
+                   for l in out["likelihoods"].values())
+        return (M.psnr(x_pad, x_hat), M.ms_ssim(x_pad, x_hat), bits)
+
+    del repl  # params stay replicated; only the image is sharded
+    per_image: List[Dict[str, float]] = []
+    t0 = time.time()
+    for img in images:
+        x = jnp.asarray(img)
+        h, w = x.shape[1], x.shape[2]
+        ph = -(-h // unit) * unit
+        pw = -(-w // pad_multiple) * pad_multiple
+        x_pad = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+        x_pad = jax.device_put(x_pad, sp_sh)
+        psnr, ms, bits = run(params, x_pad)
+        per_image.append({"psnr": float(psnr), "ms_ssim": float(ms),
+                          "bpp": float(bits) / (h * w)})
+    secs = time.time() - t0
+    mean = lambda key: float(np.mean([r[key] for r in per_image]))
+    msv = mean("ms_ssim")
+    return EvalResult(psnr=mean("psnr"), ms_ssim=msv,
+                      ms_ssim_db=float(-10 * np.log10(max(1 - msv, 1e-12))),
+                      bpp=mean("bpp"), per_image=per_image, seconds=secs)
+
+
+__all__ = ["make_batch_eval", "evaluate_sharded", "evaluate_spatial"]

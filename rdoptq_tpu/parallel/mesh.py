@@ -56,6 +56,15 @@ def channel_sharding(mesh: Mesh, ndim: int,
     return NamedSharding(mesh, P(*spec))
 
 
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the H axis of an NHWC image over dp — the sequence-parallel
+    analogue for image codecs (SURVEY §5 long-context): one 2K-class
+    image spreads over the mesh, GSPMD inserting conv halo exchanges at
+    shard edges. Pad H to a multiple of ``pad_multiple * dp`` so every
+    ×2-downsampled activation still shards evenly."""
+    return NamedSharding(mesh, P(None, "dp", None, None))
+
+
 def shard_batch(x, mesh: Mesh):
     return jax.device_put(x, batch_sharding(mesh))
 
@@ -66,5 +75,5 @@ def replicate_tree(tree, mesh: Mesh):
 
 
 __all__ = ["Mesh", "NamedSharding", "P", "make_mesh", "batch_sharding",
-           "replicated", "channel_sharding", "shard_batch",
-           "replicate_tree"]
+           "replicated", "channel_sharding", "spatial_sharding",
+           "shard_batch", "replicate_tree"]

@@ -90,3 +90,36 @@ def test_calibrate_unit_sharded_matches_unsharded():
     # tiny fraction of knife-edge sign flips
     agree = (single == sharded).mean()
     assert agree > 0.995, agree
+
+
+def test_evaluate_spatial_matches_replicated():
+    """H-axis (sequence-parallel analogue) sharded eval must match the
+    same padded forward computed without spatial sharding."""
+    from rdoptq_tpu.models.minnen2018 import Minnen2018
+    from rdoptq_tpu.ops import metrics as M
+    from rdoptq_tpu.parallel import eval as peval
+
+    model = Minnen2018(N=8, M=8)
+    params = model.init(jax.random.PRNGKey(0))
+    rng = np.random.default_rng(5)
+    base = rng.random((1, 100, 140, 3)).astype(np.float32)
+    img = np.clip(np.cumsum(base, axis=2) / 140.0, 0, 1)
+
+    mesh = pmesh.make_mesh(dp=len(jax.devices()), tp=1)
+    res = peval.evaluate_spatial(model, params, [img], mesh)
+
+    # reference: identical padding, plain single-program forward
+    dp = mesh.shape["dp"]
+    unit = 64 * dp
+    h, w = img.shape[1], img.shape[2]
+    ph, pw = -(-h // unit) * unit, -(-w // 64) * 64
+    x_pad = jnp.pad(jnp.asarray(img),
+                    ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
+    out = jax.jit(model.forward)(params, x_pad)
+    x_hat = jnp.clip(out["x_hat"], 0, 1)
+    want_psnr = float(M.psnr(x_pad, x_hat))
+    want_bits = float(sum(-jnp.sum(jnp.log2(l))
+                          for l in out["likelihoods"].values()))
+
+    assert abs(res.psnr - want_psnr) < 1e-3
+    assert abs(res.per_image[0]["bpp"] - want_bits / (h * w)) < 1e-4
