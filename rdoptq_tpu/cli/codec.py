@@ -34,6 +34,14 @@ log = logging.getLogger("codec")
 
 def _prepare(arch: str, quality: int, checkpoint_path: str, artifact: str,
              seed: int):
+    if arch == "Cheng2020GMM":
+        # mixture CDF construction is not implemented (the reference never
+        # real-codes a GMM conditional either); GMM models evaluate
+        # through the likelihood path (cli.sweep / cli.evaluate)
+        raise ValueError(
+            "Cheng2020GMM codes with a K-component Gaussian mixture; the "
+            "real-codec path supports single-Gaussian conditionals — use "
+            "the fake-quant likelihood evaluation for GMM models")
     model = registry.build_model(arch, quality)
     params = registry.load_params(model, arch, checkpoint_path, seed=seed)
     if artifact:

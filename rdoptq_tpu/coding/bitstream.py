@@ -22,7 +22,9 @@ from typing import Dict, List, Tuple
 
 MAGIC = b"RDOQ"
 VERSION = 1
-ARCH_IDS = ("Minnen2018", "Cheng2020", "Lu2022", "TinyLIC")
+ARCH_IDS = ("Minnen2018", "Cheng2020", "Lu2022", "TinyLIC",
+            "Cheng2020Attn", "Cheng2020GMM")  # append-only: indices are
+                                              # baked into written files
 METRICS = ("mse", "ms-ssim")
 
 
