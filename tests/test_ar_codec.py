@@ -127,3 +127,30 @@ def test_ar_roundtrip_lu2022_tiny():
     x_ref = np.clip(np.asarray(
         ar._synthesis_fn(model)(params, buf[None])), 0, 1)
     assert np.allclose(x_hat, x_ref, atol=1e-5)
+
+
+def test_ar_roundtrip_cheng_attn_tiny():
+    """Attention-variant transforms ride the same causal-context codec
+    (reference quantizes Cheng2020 with attention, cheng2020_attn.py)."""
+    from rdoptq_tpu.models.cheng2020 import Cheng2020
+    model = Cheng2020(N=16, attention=True)
+    params = model.init(jax.random.PRNGKey(7))
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+    x = jax.random.uniform(jax.random.PRNGKey(8), (1, 64, 64, 3))
+    out = ar.ar_compress(model, params, x, tables)
+    x_hat = ar.ar_decompress(model, params, out["strings"], out["shape"],
+                             out["y_shape"], tables)
+    # decode must reproduce the ENCODER-side reconstruction bit-exactly
+    # (the codec's mean-centered rounding differs from the eval forward's
+    # round(y) by design, as in the reference)
+    y = jax.jit(model.g_a.run)(params, jnp.asarray(x))
+    h, w = int(y.shape[1]), int(y.shape[2])
+    z_hat = jnp.asarray(codec.decompress_factorized(
+        tables, out["strings"][1], out["shape"]))
+    hyper = ar._hyper_fn(model)(params, z_hat)
+    fns = ar._wave_fns(model, h, w)
+    buf, _, _ = fns["encode_scan"](params, y[0], hyper[0])
+    x_ref = np.clip(np.asarray(
+        ar._synthesis_fn(model)(params, buf[None])), 0, 1)
+    assert np.max(np.abs(x_hat - x_ref)) < 1e-5
