@@ -26,7 +26,10 @@ import os
 import jax
 import jax.numpy as jnp
 
-_ROWS = 2048  # (rows, C<=320) f32 in+out double-buffered stays < 2 MB/buf
+# (rows, C) f32 in/out blocks double-buffered + kernel intermediates
+# (x², norm) must sit inside ~16 MB VMEM: at C=192, 1024 rows ≈ 0.75 MB
+# per buffer → ~4-5 MB live, comfortable margin
+_ROWS = 1024
 
 
 def _on_tpu() -> bool:
