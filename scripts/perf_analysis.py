@@ -67,12 +67,17 @@ def scan_forward(model, k: int):
 
 
 def measure(model, params, x) -> float:
+    # fetch the scalar (not block_until_ready): over the remote-compile
+    # tunnel block_until_ready returns before remote execution finishes,
+    # under-reporting walls by ~1000x (CLAUDE.md: sub-ms timings lie);
+    # materializing the value forces the full round trip, same protocol
+    # as scripts/bench_serving.timed
     f = scan_forward(model, K)
-    jax.block_until_ready(f(params, x))  # compile + warm
+    float(f(params, x))  # compile + warm
     best = float("inf")
     for _ in range(3):
         t0 = time.time()
-        jax.block_until_ready(f(params, x))
+        float(f(params, x))
         best = min(best, (time.time() - t0) / K)
     return best
 
