@@ -84,12 +84,20 @@ def main():
     print(f"[bench] model=tinylic leaves={n_leaves} "
           f"compile={compile_s:.2f}s runs={['%.3f' % t for t in times]}",
           file=sys.stderr)
-    print(json.dumps({
+    out = {
         "metric": "light_int8_one_shot_quantization_wall_s",
         "value": round(value, 4),
         "unit": "s",
         "vs_baseline": round(BASELINE_ONE_SHOT_S / value, 2),
-    }))
+    }
+    platform = jax.devices()[0].platform
+    if platform != "tpu":
+        # CPU-fallback numbers must be machine-distinguishable: the
+        # vs_baseline series is only meaningful on the TPU the baseline
+        # targets, not on the 1-core fallback host.
+        out["platform"] = platform
+        out["fallback"] = True
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

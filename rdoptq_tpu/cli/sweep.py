@@ -116,7 +116,17 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
 
     config = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
               "iters_w": iters_w, "act_quant": act_quant,
-              "batch_size": batch_size, "compute_dtype": compute_dtype}
+              "batch_size": batch_size, "compute_dtype": compute_dtype,
+              # provenance keys: a partial produced against different
+              # checkpoints, eval sets or calibration data must not be
+              # merged (its rows would crash the extra-eval BD blocks or
+              # silently mix provenance)
+              "ckpt_pattern": ckpt_pattern, "test_dir": test_dir,
+              "seed": seed,
+              "extra_eval": sorted([name, d, list(pt) if pt else None]
+                                   for name, d, pt in extra_eval)}
+    if iters_w > 0:  # calibration data only shapes results when used
+        config["calib_dir"] = calib_dir
     if eval_pad_to is not None:  # changes eval numbers -> resume key
         config["eval_pad_to"] = list(eval_pad_to)
     # per-quality resume file: TPU tunnel faults kill multi-quality runs;

@@ -120,9 +120,11 @@ def _wave_fns(model, h: int, w: int):
 
     def encode_scan(params, y, hyper):
         """Full encode pass on device: scan over waves producing symbols
-        (T, P) and CDF indexes (T, P) in canonical order. The indexes are
-        built per wave with the same `build_indexes` math as decode_step,
-        so both sides of the bitstream agree bitwise."""
+        (T, P, M) and CDF indexes (T, P, M) in canonical order (wave t,
+        wave position p, channel m; the host slices valid positions
+        ``[t, :counts[t]]`` and flattens the channel axis). The indexes
+        are built per wave with the same `build_indexes` math as
+        decode_step, so both sides of the bitstream agree bitwise."""
         T = pixels.shape[0]
         P = pixels.shape[1]
         valid = jnp.asarray(

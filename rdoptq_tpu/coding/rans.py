@@ -95,11 +95,14 @@ class _CdfLutCache:
         self._entries = {}  # key -> (cdf_array, lengths_array, handle)
 
     def get(self, cdf: np.ndarray, lengths: np.ndarray) -> int:
-        key = (cdf.ctypes.data, cdf.shape)
+        key = (cdf.ctypes.data, cdf.shape, lengths.ctypes.data)
         ent = self._entries.get(key)
-        if ent is not None and ent[0] is cdf:
+        if ent is not None and ent[0] is cdf and ent[1] is lengths:
             return ent[2]
         lib = _load()
+        if ent is not None:  # stale entry at a reused address: free it
+            lib.rdoptq_cdf_lut_free(ent[2])
+            del self._entries[key]
         if len(self._entries) >= self._cap:
             for _, _, h in self._entries.values():
                 lib.rdoptq_cdf_lut_free(h)

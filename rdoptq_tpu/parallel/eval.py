@@ -11,6 +11,7 @@ from __future__ import annotations
 
 import collections
 import time
+from functools import partial
 from typing import Dict, List, Sequence
 
 import jax
@@ -104,8 +105,9 @@ def evaluate_spatial(model, params, images: Sequence[np.ndarray], mesh,
     activation footprint is the scaling limit, rather than image count.
     GSPMD inserts the conv halo exchanges at shard edges; H is padded to
     ``pad_multiple * dp`` so every ×2-downsampled activation still
-    shards evenly. Metrics are computed on the padded canvas (pad is
-    constant-zero); bpp stays normalized by the original pixel count.
+    shards evenly. Metrics are computed on the original (cropped)
+    region — same protocol as ``make_batch_eval`` — and bpp is
+    normalized by the original pixel count.
 
     Intended for the conv transforms (Minnen2018 / Cheng2020 / TinyLIC
     stages); window-attention models reshape H into windows, which
@@ -114,17 +116,21 @@ def evaluate_spatial(model, params, images: Sequence[np.ndarray], mesh,
     unit = pad_multiple * dp
     params = mesh_lib.replicate_tree(params, mesh)
     sp_sh = mesh_lib.spatial_sharding(mesh)
-    repl = mesh_lib.replicated(mesh)
 
-    @jax.jit
-    def run(params, x_pad):
+    # h/w are static: one compile per unique (padded, original) shape
+    # pair — the same cardinality as the padded-shape buckets alone for
+    # fixed-size sets (Tecnick), one extra trace per distinct size
+    # otherwise. Cropping INSIDE the program keeps the metric protocol
+    # identical to make_batch_eval (pad rows must not be scored).
+    @partial(jax.jit, static_argnums=(2, 3))
+    def run(params, x_pad, h, w):
         out = model.forward(params, x_pad, ctx=ctx)
-        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)
+        x_hat = jnp.clip(out["x_hat"], 0.0, 1.0)[:, :h, :w, :]
+        x = x_pad[:, :h, :w, :]
         bits = sum(-jnp.sum(jnp.log2(l))
                    for l in out["likelihoods"].values())
-        return (M.psnr(x_pad, x_hat), M.ms_ssim(x_pad, x_hat), bits)
+        return (M.psnr(x, x_hat), M.ms_ssim(x, x_hat), bits)
 
-    del repl  # params stay replicated; only the image is sharded
     per_image: List[Dict[str, float]] = []
     t0 = time.time()
     for img in images:
@@ -134,7 +140,7 @@ def evaluate_spatial(model, params, images: Sequence[np.ndarray], mesh,
         pw = -(-w // pad_multiple) * pad_multiple
         x_pad = jnp.pad(x, ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
         x_pad = jax.device_put(x_pad, sp_sh)
-        psnr, ms, bits = run(params, x_pad)
+        psnr, ms, bits = run(params, x_pad, h, w)
         per_image.append({"psnr": float(psnr), "ms_ssim": float(ms),
                           "bpp": float(bits) / (h * w)})
     secs = time.time() - t0

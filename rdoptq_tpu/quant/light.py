@@ -93,10 +93,11 @@ def _packed_quant_fn(spec, method: str):
 
 
 @_ft.partial(jax.jit, static_argnums=(2,))
-def _bias_int16(b, w_delta, bits: int = 16):
+def _bias_int16(b, w_delta, bits: int = 16, scale_method: str = "max"):
     """Layer-wise path: bias rescaled by s_w and stored int16
-    (quant_int/quant_layer.py:84-97)."""
-    bqp = Q.init_scale(b, bits, "max")
+    (quant_int/quant_layer.py:84-97). ``bits``/``scale_method`` set the
+    quantization grid; the int16 container is the storage format."""
+    bqp = Q.init_scale(b, bits, scale_method)
     b_int = Q.quantize(b, bqp, bits).astype(jnp.float32)
     b_int = jnp.round((b_int - bqp.zero_point) / w_delta * bqp.delta)
     return jnp.clip(b_int, -32768, 32767).astype(jnp.int16)
@@ -142,7 +143,9 @@ def quantize_model(params, cfg: LightConfig = LightConfig()
                 continue
             qp = qstate[leaf.path]
             bias_items.append((bias_path, b.shape,
-                               _bias_int16(b, jnp.asarray(qp.delta)),
+                               _bias_int16(b, jnp.asarray(qp.delta),
+                                           cfg.bias_bits,
+                                           cfg.scale_method),
                                qp.delta))
         if bias_items:
             flat_b = jax.device_get(jnp.concatenate(

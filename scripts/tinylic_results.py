@@ -117,7 +117,10 @@ def main():
             dict(pp)["eb"])
         pd["eb"] = E.fit_quantiles(pd["eb"])
         tables = codec.build_codec_tables(pd["eb"])
-        r = validate_real_codec(model6, pd, img, tables, "checkerboard")
+        # first call pays trace+compile; the reported row is the warm
+        # second call (the reference times warm torch codecs too,
+        # single_test.ipynb cell 6)
+        validate_real_codec(model6, pd, img, tables, "checkerboard")
         r = validate_real_codec(model6, pd, img, tables, "checkerboard")
         codec_rows[tag] = {k: round(v, 4) for k, v in r.items()}
         print(f"codec {tag}: {codec_rows[tag]}")

@@ -122,7 +122,11 @@ def test_sweep_partial_validation(tmp_path, monkeypatch):
     # matching config but a quality outside the requested set -> dropped
     cfg = {"arch": "Minnen2018", "n_bits_w": 8, "n_bits_a": 8,
            "iters_w": 0, "act_quant": False, "batch_size": 4,
-           "compute_dtype": "float32"}
+           "compute_dtype": "float32",
+           # provenance keys (checkpoints / eval sets / calibration data)
+           # are part of the resume fingerprint
+           "ckpt_pattern": "", "test_dir": "", "seed": 1005,
+           "extra_eval": []}
     with open(out_path + ".partial", "w") as f:
         json.dump({"config": cfg,
                    "per_quality": {"1": bogus_row, "9": bogus_row}}, f)

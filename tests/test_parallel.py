@@ -116,8 +116,10 @@ def test_evaluate_spatial_matches_replicated():
     x_pad = jnp.pad(jnp.asarray(img),
                     ((0, 0), (0, ph - h), (0, pw - w), (0, 0)))
     out = jax.jit(model.forward)(params, x_pad)
-    x_hat = jnp.clip(out["x_hat"], 0, 1)
-    want_psnr = float(M.psnr(x_pad, x_hat))
+    # metric protocol: crop back to the original region (pad rows are
+    # not scored), same as make_batch_eval
+    x_hat = jnp.clip(out["x_hat"], 0, 1)[:, :h, :w, :]
+    want_psnr = float(M.psnr(x_pad[:, :h, :w, :], x_hat))
     want_bits = float(sum(-jnp.sum(jnp.log2(l))
                           for l in out["likelihoods"].values()))
 
