@@ -22,7 +22,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..coding import ar, bitstream, codec
+from ..coding import ar, bitstream, codec, tiled
 from ..eval import datasets
 from ..models import registry
 from ..ops import entropy as E
@@ -56,22 +56,40 @@ def _prepare(arch: str, quality: int, checkpoint_path: str, artifact: str,
 
 def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
            quality: int = 6, checkpoint_path: str = "", artifact: str = "",
-           metric: str = "mse", seed: int = 1005) -> dict:
+           metric: str = "mse", seed: int = 1005, tile: int = 0,
+           batch_tiles: int = 16) -> dict:
+    """``tile`` > 0 switches to the tiled codec (coding/tiled.py):
+    fixed-shape tiles ride the batch axis, so any resolution runs one
+    compiled program at bounded memory."""
     model, params, tables = _prepare(arch, quality, checkpoint_path,
                                      artifact, seed)
     img = datasets.load_image(image_path)
     h, w = img.shape[1], img.shape[2]
-    # corner-anchored padding so the decoder can crop at [:h, :w]
-    ph = -(-h // 64) * 64 - h
-    pw = -(-w // 64) * 64 - w
-    x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
     t0 = time.time()
-    if arch == "TinyLIC":
-        out = codec.tinylic_compress(model, params, x, tables)
-        shape_blob = struct.pack("<HH", *out["shape"])
+    if tile:
+        out = tiled.tiled_compress(model, params, np.asarray(img), tables,
+                                   arch, tile, batch_tiles)
+        # blob LENGTH discriminates the framing (13 = tiled TinyLIC,
+        # 15 = tiled AR, vs 4 / 8 untiled)
+        if arch == "TinyLIC":
+            shape_blob = struct.pack("<BHHHHHH", 0x54, tile // 64,
+                                     *out["grid"], batch_tiles,
+                                     *out["zy_shape"])
+        else:
+            shape_blob = struct.pack("<BHHHHHHH", 0x54, tile // 64,
+                                     *out["grid"], *out["zy_shape"])
     else:
-        out = ar.ar_compress(model, params, x, tables)
-        shape_blob = struct.pack("<HHHH", *out["shape"], *out["y_shape"])
+        # corner-anchored padding so the decoder can crop at [:h, :w]
+        ph = -(-h // 64) * 64 - h
+        pw = -(-w // 64) * 64 - w
+        x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+        if arch == "TinyLIC":
+            out = codec.tinylic_compress(model, params, x, tables)
+            shape_blob = struct.pack("<HH", *out["shape"])
+        else:
+            out = ar.ar_compress(model, params, x, tables)
+            shape_blob = struct.pack("<HHHH", *out["shape"],
+                                     *out["y_shape"])
     enc_s = time.time() - t0
     strings = [shape_blob] + out["strings"]
     nbytes = bitstream.write_bitstream(out_path, arch, quality, metric,
@@ -93,7 +111,19 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
-    if arch == "TinyLIC":
+    if len(shape_blob) in (13, 15):  # tiled framing (see encode)
+        if len(shape_blob) == 13:
+            _, t64, th, tw, bt, zh, zw = struct.unpack("<BHHHHHH",
+                                                       shape_blob)
+            zy = (zh, zw)
+        else:
+            _, t64, th, tw, zh, zw, yh, yw = struct.unpack("<BHHHHHHH",
+                                                           shape_blob)
+            zy, bt = (zh, zw, yh, yw), 16
+        x_hat = tiled.tiled_decompress(model, params, strings, t64 * 64,
+                                       (th, tw), zy, (h, w), tables, arch,
+                                       batch_tiles=bt)
+    elif arch == "TinyLIC":
         zshape = struct.unpack("<HH", shape_blob)
         x_hat = codec.tinylic_decompress(model, params, strings, zshape,
                                          tables)
@@ -116,15 +146,24 @@ def main(argv=None):
     p.add_argument("mode", choices=["encode", "decode"])
     p.add_argument("input")
     p.add_argument("output")
-    p.add_argument("--arch", default="TinyLIC")
+    # empty default: encode falls back to TinyLIC, decode reads the
+    # arch from the bitstream header unless explicitly overridden
+    p.add_argument("--arch", default="")
     p.add_argument("--quality", type=int, default=6)
     p.add_argument("--checkpoint", default="")
     p.add_argument("--artifact", default="")
+    p.add_argument("--tile", type=int, default=0,
+                   help="tile size (multiple of 64): code any-resolution "
+                        "images as fixed-shape tile batches (one compile, "
+                        "bounded memory)")
+    p.add_argument("--batch_tiles", type=int, default=16,
+                   help="tiles per coded batch group (memory bound)")
     a = p.parse_args(argv)
     setup_logger(None)
     if a.mode == "encode":
-        out = encode(a.input, a.output, a.arch, a.quality, a.checkpoint,
-                     a.artifact)
+        out = encode(a.input, a.output, a.arch or "TinyLIC", a.quality,
+                     a.checkpoint, a.artifact, tile=a.tile,
+                     batch_tiles=a.batch_tiles)
     else:
         out = decode(a.input, a.output, a.arch, a.quality, a.checkpoint,
                      a.artifact)

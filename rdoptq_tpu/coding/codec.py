@@ -70,19 +70,19 @@ def factorized_round(z, med):
 
 def encode_factorized_symbols(tables: CodecTables,
                               symbols: np.ndarray) -> bytes:
-    """(1, h, w, C) int32 symbols (= round(z - median)) -> bitstream,
-    channel-major order."""
-    _, h, w, c = symbols.shape
-    sym_cm = symbols[0].transpose(2, 0, 1).reshape(-1)  # (C*h*w,)
-    idx = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    """(B, h, w, C) int32 symbols (= round(z - median)) -> bitstream,
+    channel-major per image, image-major overall."""
+    b, h, w, c = symbols.shape
+    sym_cm = symbols.transpose(0, 3, 1, 2).reshape(-1)  # (B*C*h*w,)
+    idx = np.tile(np.repeat(np.arange(c, dtype=np.int32), h * w), b)
     t = tables.factorized
     return rans.encode_with_indexes(sym_cm, idx, t.cdf, t.cdf_lengths,
                                     t.offsets)
 
 
 def compress_factorized(tables: CodecTables, z: np.ndarray) -> bytes:
-    """z: (1, h, w, C) -> bitstream. Symbols = round(z - median),
-    channel-major order."""
+    """z: (B, h, w, C) -> bitstream. Symbols = round(z - median),
+    channel-major per image, image-major overall."""
     z = np.asarray(z)
     c = z.shape[-1]
     med = tables.medians.reshape(1, 1, 1, c)
@@ -91,14 +91,16 @@ def compress_factorized(tables: CodecTables, z: np.ndarray) -> bytes:
 
 
 def decompress_factorized(tables: CodecTables, stream: bytes,
-                          shape: Tuple[int, int]) -> np.ndarray:
+                          shape: Tuple[int, int],
+                          batch: int = 1) -> np.ndarray:
     h, w = shape
     c = tables.medians.shape[0]
-    idx = np.repeat(np.arange(c, dtype=np.int32), h * w)
+    idx = np.tile(np.repeat(np.arange(c, dtype=np.int32), h * w), batch)
     t = tables.factorized
     sym = rans.decode_with_indexes(stream, idx, t.cdf, t.cdf_lengths,
                                    t.offsets)
-    z_sym = sym.reshape(c, h, w).transpose(1, 2, 0)[None].astype(np.float32)
+    z_sym = (sym.reshape(batch, c, h, w).transpose(0, 2, 3, 1)
+             .astype(np.float32))
     return z_sym + tables.medians.reshape(1, 1, 1, c)
 
 
@@ -225,19 +227,26 @@ def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
         idx1s.append(idx1)
         idx2s.append(idx2)
 
-    # the single host synchronization for the whole image
+    # the single host synchronization for the whole batch
     z_sym, sym1s, sym2s, idx1s, idx2s, anchor = jax.device_get(
         (z_sym, sym1s, sym2s, idx1s, idx2s,
          checkerboard_anchor_mask(h, w)))
     anchor = anchor[0, :, :, 0] > 0
+    B = int(x.shape[0])
 
+    # canonical symbol order: slice-major, then (anchors for every
+    # image, non-anchors for every image) — exactly the order the
+    # decoder can produce parameters in (pass1 is batched, so all
+    # images' anchors decode before the batched pass2)
     z_string = encode_factorized_symbols(tables, z_sym)
     all_sym, all_idx = [], []
     for i in range(len(model.slices)):
-        all_sym += [sym1s[i][0][anchor].reshape(-1),
-                    sym2s[i][0][~anchor].reshape(-1)]
-        all_idx += [idx1s[i][0][anchor].reshape(-1),
-                    idx2s[i][0][~anchor].reshape(-1)]
+        for b in range(B):
+            all_sym.append(sym1s[i][b][anchor].reshape(-1))
+            all_idx.append(idx1s[i][b][anchor].reshape(-1))
+        for b in range(B):
+            all_sym.append(sym2s[i][b][~anchor].reshape(-1))
+            all_idx.append(idx2s[i][b][~anchor].reshape(-1))
     g = tables.gaussian
     y_string = rans.encode_with_indexes(
         np.concatenate(all_sym), np.concatenate(all_idx), g.cdf,
@@ -248,15 +257,22 @@ def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
 
 def tinylic_decompress(model, params, strings: List[bytes],
                        shape: Tuple[int, int],
-                       tables: CodecTables) -> np.ndarray:
+                       tables: CodecTables,
+                       batch: int = 1) -> np.ndarray:
     """Slice-serial, spatially-parallel decode (reference
-    tinylic.py:314-366): 2 device passes per slice + streaming rANS."""
+    tinylic.py:314-366): 2 device passes per slice + streaming rANS.
+
+    ``batch`` > 1 decodes a batched bitstream (e.g. the tiles of one
+    image, coding/tiled.py) with the SAME 2-passes-per-slice device
+    cost — the passes are batched, only the host rANS loop is
+    per-image."""
     from ..models.tinylic import checkerboard_anchor_mask
 
     y_string, z_string = strings
     zh, zw = shape
     fns = _codec_fns(model)
-    z_hat = jnp.asarray(decompress_factorized(tables, z_string, (zh, zw)))
+    z_hat = jnp.asarray(decompress_factorized(tables, z_string, (zh, zw),
+                                              batch))
     hyper = fns["h_s"](params, z_hat)
     h, w = zh * 4, zw * 4
     anchor = np.asarray(checkerboard_anchor_mask(h, w))[0, :, :, 0] > 0
@@ -271,21 +287,21 @@ def tinylic_decompress(model, params, strings: List[bytes],
         # decode chain's host syncs are its wall-clock floor on a
         # remote device link
         idx1, m1 = jax.device_get((idx1_j, means1))
-        idx1, m1 = idx1[0], m1[0]
-        sym1 = dec.decode(idx1[anchor].reshape(-1), g.cdf, g.cdf_lengths,
-                          g.offsets)
-        y_anchor = np.zeros((h, w, out_ch), np.float32)
-        y_anchor[anchor] = sym1.reshape(-1, out_ch) + m1[anchor]
+        y_anchor = np.zeros((batch, h, w, out_ch), np.float32)
+        for b in range(batch):
+            sym1 = dec.decode(idx1[b][anchor].reshape(-1), g.cdf,
+                              g.cdf_lengths, g.offsets)
+            y_anchor[b][anchor] = sym1.reshape(-1, out_ch) + m1[b][anchor]
 
         idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
-                                      jnp.asarray(y_anchor[None]), i)
+                                      jnp.asarray(y_anchor), i)
         idx2, m2 = jax.device_get((idx2_j, means2))
-        idx2, m2 = idx2[0], m2[0]
-        sym2 = dec.decode(idx2[~anchor].reshape(-1), g.cdf, g.cdf_lengths,
-                          g.offsets)
         y_full = y_anchor
-        y_full[~anchor] = sym2.reshape(-1, out_ch) + m2[~anchor]
-        y_hat_slices.append(jnp.asarray(y_full[None]))
+        for b in range(batch):
+            sym2 = dec.decode(idx2[b][~anchor].reshape(-1), g.cdf,
+                              g.cdf_lengths, g.offsets)
+            y_full[b][~anchor] = sym2.reshape(-1, out_ch) + m2[b][~anchor]
+        y_hat_slices.append(jnp.asarray(y_full))
     dec.close()
 
     y_hat = jnp.concatenate(y_hat_slices, axis=-1)

@@ -1,0 +1,126 @@
+"""Tiled coding: arbitrary-size images at constant memory and one compile.
+
+Neither the reference nor any of its notebooks can code an image larger
+than device memory allows in one shot, and every new input size pays a
+fresh XLA compile (on the remote-compile TPU tunnel, minutes). Tiling
+fixes both TPU-natively:
+
+* the image is split into fixed ``tile x tile`` patches, so EVERY image
+  — any resolution — runs the SAME compiled programs (one compile, ever);
+* the patches ride the BATCH axis: for TinyLIC's checkerboard codec the
+  whole grid encodes with one host synchronization and decodes with the
+  same 2-device-passes-per-slice as a single image (the batch dimension
+  is free MXU parallelism, not a host loop);
+* peak activation memory is bounded by ``batch_tiles`` regardless of
+  image size (8K+ inputs stream through in tile groups).
+
+Autoregressive (wavefront) models code per tile through one shared
+compiled program. Rate overhead vs whole-image coding comes from lost
+cross-tile context (~seams); the eval harness quantifies it per model.
+
+Bitstream layout: one z + one y stream per tile GROUP (a group = up to
+``batch_tiles`` tiles coded as one batch), tile-row-major.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Sequence, Tuple
+
+import jax.numpy as jnp
+import numpy as np
+
+from . import ar, codec
+
+
+def tile_grid(h: int, w: int, tile: int) -> Tuple[int, int]:
+    return -(-h // tile), -(-w // tile)
+
+
+def tile_image(img: np.ndarray, tile: int) -> np.ndarray:
+    """(1, h, w, 3) -> (th*tw, tile, tile, 3), corner-anchored zero pad,
+    row-major tile order."""
+    _, h, w, c = img.shape
+    th, tw = tile_grid(h, w, tile)
+    pad = np.zeros((1, th * tile, tw * tile, c), img.dtype)
+    pad[:, :h, :w, :] = img
+    t = pad.reshape(1, th, tile, tw, tile, c)
+    return t.transpose(0, 1, 3, 2, 4, 5).reshape(th * tw, tile, tile, c)
+
+
+def untile_image(tiles: np.ndarray, th: int, tw: int, h: int,
+                 w: int) -> np.ndarray:
+    """(th*tw, tile, tile, 3) -> (1, h, w, 3) cropped."""
+    b, tile, _, c = tiles.shape
+    assert b == th * tw, (b, th, tw)
+    t = tiles.reshape(1, th, tw, tile, tile, c)
+    full = t.transpose(0, 1, 3, 2, 4, 5).reshape(1, th * tile, tw * tile, c)
+    return full[:, :h, :w, :]
+
+
+def _groups(n: int, batch_tiles: int) -> List[Tuple[int, int]]:
+    return [(i, min(i + batch_tiles, n))
+            for i in range(0, n, batch_tiles)]
+
+
+def tiled_compress(model, params, img: np.ndarray,
+                   tables: codec.CodecTables, arch: str, tile: int = 512,
+                   batch_tiles: int = 16) -> Dict:
+    """Compress an arbitrary-size image as a grid of fixed-size tiles.
+
+    Returns {"strings", "tile", "grid", "zy_shape"}; ``strings`` holds
+    2 streams per tile group for TinyLIC (y, z) and per AR tile
+    (y, z). ``tile`` must be a multiple of the arch's pad unit (64)."""
+    if tile % 64:
+        raise ValueError(f"tile={tile} must be a multiple of 64")
+    _, h, w, _ = img.shape
+    th, tw = tile_grid(h, w, tile)
+    tiles = tile_image(np.asarray(img), tile)
+    strings: List[bytes] = []
+    zy_shape = None
+    if arch == "TinyLIC":
+        for lo, hi in _groups(th * tw, batch_tiles):
+            out = codec.tinylic_compress(model, params,
+                                         jnp.asarray(tiles[lo:hi]), tables)
+            strings += out["strings"]
+            zy_shape = out["shape"]
+    else:
+        for b in range(th * tw):  # one shared compiled program
+            out = ar.ar_compress(model, params, jnp.asarray(tiles[b:b + 1]),
+                                 tables)
+            strings += out["strings"]
+            zy_shape = out["shape"] + out["y_shape"]
+    return {"strings": strings, "tile": tile, "grid": (th, tw),
+            "zy_shape": zy_shape}
+
+
+def tiled_decompress(model, params, strings: Sequence[bytes],
+                     tile: int, grid: Tuple[int, int],
+                     zy_shape: Sequence[int], size: Tuple[int, int],
+                     tables: codec.CodecTables, arch: str,
+                     batch_tiles: int = 16) -> np.ndarray:
+    """Inverse of :func:`tiled_compress` -> (1, h, w, 3) in [0, 1]."""
+    th, tw = grid
+    h, w = size
+    n = th * tw
+    tiles = np.zeros((n, tile, tile, 3), np.float32)
+    if arch == "TinyLIC":
+        groups = _groups(n, batch_tiles)
+        assert len(strings) == 2 * len(groups), (len(strings), groups)
+        for gi, (lo, hi) in enumerate(groups):
+            x_hat = codec.tinylic_decompress(
+                model, params, list(strings[2 * gi:2 * gi + 2]),
+                tuple(zy_shape[:2]), tables, batch=hi - lo)
+            tiles[lo:hi] = np.asarray(x_hat)
+    else:
+        assert len(strings) == 2 * n, (len(strings), n)
+        for b in range(n):
+            x_hat = ar.ar_decompress(model, params,
+                                     list(strings[2 * b:2 * b + 2]),
+                                     tuple(zy_shape[:2]),
+                                     tuple(zy_shape[2:]), tables)
+            tiles[b] = np.asarray(x_hat)[0]
+    return untile_image(np.clip(tiles, 0.0, 1.0), th, tw, h, w)
+
+
+__all__ = ["tile_grid", "tile_image", "untile_image", "tiled_compress",
+           "tiled_decompress"]
