@@ -210,6 +210,54 @@ def codec_bench(image_path: str) -> dict:
     return out
 
 
+def tiled_codec_bench(image_path: str, tile: int = 512,
+                      batch_tiles: int = 12) -> dict:
+    """Tiled (coding/tiled.py) TinyLIC enc/dec on the same 2K image: the
+    tile grid rides the batch axis, so compile cost amortizes across ALL
+    input resolutions (one bucket ever) while wall-clock should stay in
+    the same class as the single whole-image program."""
+    from rdoptq_tpu.coding import tiled
+
+    model = registry.build_model("TinyLIC", 6)
+    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+
+    img = np.asarray(datasets.load_image(image_path))
+    h, w = img.shape[1], img.shape[2]
+
+    enc = tiled.tiled_compress(model, params, img, tables, "TinyLIC",
+                               tile, batch_tiles)  # compile warm-up
+    t0 = time.time()
+    for _ in range(3):
+        enc = tiled.tiled_compress(model, params, img, tables, "TinyLIC",
+                                   tile, batch_tiles)
+    enc_s = (time.time() - t0) / 3
+    rec = tiled.tiled_decompress(model, params, enc["strings"], tile,
+                                 enc["grid"], enc["zy_shape"], (h, w),
+                                 tables, "TinyLIC", batch_tiles)
+    t0 = time.time()
+    for _ in range(3):
+        rec = tiled.tiled_decompress(model, params, enc["strings"], tile,
+                                     enc["grid"], enc["zy_shape"], (h, w),
+                                     tables, "TinyLIC", batch_tiles)
+    dec_s = (time.time() - t0) / 3
+    bits = sum(len(s) for s in enc["strings"]) * 8
+    # decodability guard: tiled decode must match the fake-quant forward
+    # of the tile batch (knife-edge-free tolerance)
+    tiles = tiled.tile_image(img, tile)
+    fwd = np.clip(np.asarray(jax.jit(
+        lambda pp, v: model.forward(pp, v)["x_hat"])(
+            params, jnp.asarray(tiles))), 0, 1)
+    want = tiled.untile_image(fwd, *enc["grid"], h, w)
+    mse = float(np.mean((np.asarray(rec) - want) ** 2))
+    psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
+    assert psnr > 30.0, f"tiled decode diverges ({psnr:.2f} dB)"
+    return {"tile": tile, "grid": list(enc["grid"]),
+            "enc_s": round(enc_s, 4), "dec_s": round(dec_s, 4),
+            "bpp": round(bits / (h * w), 4), "psnr_db": round(psnr, 2)}
+
+
 def main():
     x = jnp.asarray(np.random.default_rng(0).random((1, 768, 512, 3),
                                                     np.float32))
@@ -237,6 +285,14 @@ def main():
         print("== codec bench TinyLIC (CLIC 2048x1339)")
         results["codec_tinylic_2k"] = codec_bench(clic2k)
         print(json.dumps(results["codec_tinylic_2k"], indent=2))
+        print("== tiled codec bench TinyLIC (CLIC 2K, 512px tiles)")
+        try:
+            results["codec_tinylic_2k_tiled"] = tiled_codec_bench(
+                clic2k, tile=512, batch_tiles=12)
+            print(json.dumps(results["codec_tinylic_2k_tiled"], indent=2))
+        except Exception as e:  # keep the rest of the bench alive
+            results["codec_tinylic_2k_tiled"] = {"error": str(e)}
+            print("tiled bench failed:", e)
 
     os.makedirs("artifacts", exist_ok=True)
     with open("artifacts/serving_bench.json", "w") as f:
