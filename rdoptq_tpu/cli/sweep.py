@@ -95,7 +95,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         out_path: str = "./results/sweep.json", seed: int = 1005,
         compute_dtype: str = "float32", remat: bool = False,
         batch_size: int = 4, calib_dir: str = DEFAULT_CALIB_DIR,
-        extra_eval=(), eval_pad_to=None) -> dict:
+        extra_eval=(), eval_pad_to=None,
+        bias_correct: bool = False) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
     the full per-unit calibration at each quality. ``extra_eval`` is a
     sequence of (name, directory) evaluation sets beyond the main one
@@ -111,7 +112,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
     extra_images = {name: datasets.load_dir(d)
                     for name, d, _ in extra_eval}
     extra_pad = {name: pt for name, _, pt in extra_eval}
-    calib_images = datasets.load_dir(calib_dir) if iters_w > 0 else []
+    calib_images = (datasets.load_dir(calib_dir)
+                    if iters_w > 0 or bias_correct else [])
     pad = pad_multiple_for(arch)
 
     config = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
@@ -125,10 +127,12 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
               "seed": seed,
               "extra_eval": sorted([name, d, list(pt) if pt else None]
                                    for name, d, pt in extra_eval)}
-    if iters_w > 0:  # calibration data only shapes results when used
+    if iters_w > 0 or bias_correct:  # calibration data shapes results
         config["calib_dir"] = calib_dir
     if eval_pad_to is not None:  # changes eval numbers -> resume key
         config["eval_pad_to"] = list(eval_pad_to)
+    if bias_correct:
+        config["bias_correct"] = True
     # per-quality resume file: TPU tunnel faults kill multi-quality runs;
     # a rerun skips completed qualities (losing at most one calibration).
     # `anchors` persists the FP32 eval per quality so a mid-calibration
@@ -235,6 +239,11 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             calib_s = time.time() - t0
             log.info("q%d calibration wall-clock: %.1fs", q, calib_s)
         params_q = state.quantized_params(params, untrained="nearest")
+        if bias_correct:
+            from ..quant import bias_correct as bc
+            crops = datasets.random_crops(calib_images, 8, 256, seed + 7)
+            params_q = bc.bias_correct(model, params, params_q,
+                                       jax.numpy.asarray(crops))
         stages_on = [st.name for c in model.coders.values()
                      for st in c.stages] if act_quant else []
         gates_q = harness.stage_gates(model, stages_on)
@@ -333,6 +342,10 @@ def main(argv=None):
                    help="HxW floor for every eval image's padded shape "
                         "(one compile bucket for varied-shape sets like "
                         "CLIC), e.g. 1536x2048")
+    p.add_argument("--bias_correct", action="store_true",
+                   help="fold the measured per-stage quantization output "
+                        "shift into biases (zero-iteration correction on "
+                        "calib_dir crops; quant/bias_correct.py)")
     a = p.parse_args(argv)
     pad_to = None
     if a.eval_pad_to:
@@ -342,7 +355,8 @@ def main(argv=None):
         a.n_bits_a, a.act_quant, a.iters_w, a.test_dir, a.ckpt_pattern,
         a.out, compute_dtype=a.compute_dtype, remat=a.remat,
         batch_size=a.batch_size, calib_dir=a.calib_dir,
-        extra_eval=parse_extra_eval(a.extra_eval), eval_pad_to=pad_to)
+        extra_eval=parse_extra_eval(a.extra_eval), eval_pad_to=pad_to,
+        bias_correct=a.bias_correct)
 
 
 if __name__ == "__main__":
