@@ -92,7 +92,7 @@ def _packed_quant_fn(spec, method: str):
     return jax.jit(compute)
 
 
-@_ft.partial(jax.jit, static_argnums=(2,))
+@_ft.partial(jax.jit, static_argnums=(2, 3))
 def _bias_int16(b, w_delta, bits: int = 16, scale_method: str = "max"):
     """Layer-wise path: bias rescaled by s_w and stored int16
     (quant_int/quant_layer.py:84-97). ``bits``/``scale_method`` set the
