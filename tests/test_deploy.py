@@ -101,6 +101,30 @@ def test_int8_serving_bundle(tiny, tmp_path):
     assert bundle.meta["int8"] is True
 
 
+def test_transformer_models_export(tmp_path):
+    """Window-attention models (static shift masks, RPB gathers) and the
+    checkerboard entropy model must survive export/deserialize/call."""
+    from rdoptq_tpu.models.lu2022 import Lu2022
+    from rdoptq_tpu.models import tinylic as T
+
+    for name, model, shape in (
+            ("lu", Lu2022(embed_dim=16, latent_dim=16, window_size=4),
+             (1, 64, 64, 3)),
+            ("tl", T.TinyLIC(N=16, M=24, slices=(8, 16),
+                             depths=(1, 1, 1, 1, 1, 1)), (1, 64, 64, 3))):
+        params = model.init(jax.random.PRNGKey(0))
+        entries = deploy.export_serving(model, params, [shape],
+                                        platforms=("cpu",))
+        path = os.path.join(tmp_path, f"{name}.rdx")
+        deploy.save_bundle(path, entries, params, {"arch": name})
+        x = _x(shape)
+        out = deploy.load_bundle(path)(x)
+        ref = deploy.serving_fn(model)(params, x)
+        # separately-compiled instances may reassociate attention/LN
+        # reductions: tight tolerance, not bit equality
+        assert float(jnp.abs(out["x_hat"] - ref["x_hat"]).max()) < 1e-6
+
+
 def test_cli_export(tiny, tmp_path):
     from rdoptq_tpu.cli import export as cli_export
 
