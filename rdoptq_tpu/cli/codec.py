@@ -111,7 +111,8 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
-    if len(shape_blob) in (13, 15):  # tiled framing (see encode)
+    if len(shape_blob) in (13, 15) and shape_blob[0] == 0x54:
+        # tiled framing (see encode): length + 'T' tag discriminate
         if len(shape_blob) == 13:
             _, t64, th, tw, bt, zh, zw = struct.unpack("<BHHHHHH",
                                                        shape_blob)

@@ -242,8 +242,16 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         if bias_correct:
             from ..quant import bias_correct as bc
             crops = datasets.random_crops(calib_images, 8, 256, seed + 7)
+            # measure under the SAME act-quant configuration the eval
+            # runs, so the keep/drop guard sees the deployed model
+            bc_ctx = (QuantCtx(act_paths=frozenset(
+                          st.name for c in model.coders.values()
+                          for st in c.stages),
+                          act_bits=n_bits_a, skip_paths=skips)
+                      if act_quant else NULL_CTX)
             params_q = bc.bias_correct(model, params, params_q,
-                                       jax.numpy.asarray(crops))
+                                       jax.numpy.asarray(crops),
+                                       ctx=bc_ctx)
         stages_on = [st.name for c in model.coders.values()
                      for st in c.stages] if act_quant else []
         gates_q = harness.stage_gates(model, stages_on)

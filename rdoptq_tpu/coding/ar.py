@@ -168,13 +168,7 @@ def ar_compress(model, params, x, tables: CodecTables) -> Dict:
     index math on device (asynchronously dispatched); ONE host
     synchronization for the symbol/index fetch, then one host rANS
     encode."""
-    @jax.jit
-    def analysis(params, x):
-        y = model.g_a.run(params, x)
-        z = model.h_a.run(params, y)
-        return y, z
-
-    y, z = analysis(params, jnp.asarray(x))
+    y, z = _analysis_fn(model)(params, jnp.asarray(x))
     med = jnp.asarray(tables.medians, jnp.float32).reshape(1, 1, 1, -1)
     z_sym, z_hat = factorized_round(z, med)
     hyper = _hyper_fn(model)(params, z_hat)
@@ -201,6 +195,17 @@ def ar_compress(model, params, x, tables: CodecTables) -> Dict:
     return {"strings": [y_string, z_string],
             "shape": (int(z.shape[1]), int(z.shape[2])),
             "y_shape": (h, w)}
+
+
+@functools.lru_cache(maxsize=16)
+def _analysis_fn(model):
+    """Cached jit (a per-call closure would re-trace on every image —
+    per-tile overhead in coding/tiled.py)."""
+    def analysis(params, x):
+        y = model.g_a.run(params, x)
+        z = model.h_a.run(params, y)
+        return y, z
+    return jax.jit(analysis)
 
 
 @functools.lru_cache(maxsize=16)

@@ -11,7 +11,7 @@ File layout (little endian):
     quality u8
     metric  u8      (0 = mse, 1 = ms-ssim)
     height  u32, width u32      (original image size)
-    n_streams u8
+    n_streams u16   (tiled AR codings carry 2 streams per tile)
     per stream: length u32 + payload bytes
 """
 
@@ -21,7 +21,7 @@ import struct
 from typing import Dict, List, Tuple
 
 MAGIC = b"RDOQ"
-VERSION = 1
+VERSION = 2  # v2: n_streams u8 -> u16 (tiled AR: 2 streams per tile)
 ARCH_IDS = ("Minnen2018", "Cheng2020", "Lu2022", "TinyLIC",
             "Cheng2020Attn", "Cheng2020GMM")  # append-only: indices are
                                               # baked into written files
@@ -30,21 +30,21 @@ METRICS = ("mse", "ms-ssim")
 
 def pack_header(arch: str, quality: int, metric: str,
                 size: Tuple[int, int], n_streams: int) -> bytes:
-    return struct.pack("<4sBBBBIIB", MAGIC, VERSION,
+    return struct.pack("<4sBBBBIIH", MAGIC, VERSION,
                        ARCH_IDS.index(arch), quality,
                        METRICS.index(metric), size[0], size[1], n_streams)
 
 
 def parse_header(buf: bytes) -> Dict:
     magic, ver, arch, quality, metric, h, w, n = struct.unpack(
-        "<4sBBBBIIB", buf[:17])
+        "<4sBBBBIIH", buf[:18])
     if magic != MAGIC:
         raise ValueError("not an RDOQ bitstream")
     if ver != VERSION:
         raise ValueError(f"unsupported bitstream version {ver}")
     return {"arch": ARCH_IDS[arch], "quality": quality,
             "metric": METRICS[metric], "size": (h, w), "n_streams": n,
-            "header_len": 17}
+            "header_len": 18}
 
 
 def write_bitstream(path: str, arch: str, quality: int, metric: str,

@@ -57,9 +57,23 @@ def untile_image(tiles: np.ndarray, th: int, tw: int, h: int,
     return full[:, :h, :w, :]
 
 
-def _groups(n: int, batch_tiles: int) -> List[Tuple[int, int]]:
-    return [(i, min(i + batch_tiles, n))
-            for i in range(0, n, batch_tiles)]
+def _n_groups(n: int, batch_tiles: int) -> int:
+    return -(-n // batch_tiles)
+
+
+def _pad_tiles(tiles: np.ndarray, batch_tiles: int) -> np.ndarray:
+    """Pad the tile count to a multiple of ``batch_tiles`` with zero
+    tiles so EVERY coded group has the same batch shape — one compiled
+    program bucket per (tile, batch_tiles) config, regardless of image
+    size (a remainder-sized group would cost a fresh multi-minute remote
+    compile per distinct tile count). The dummy tiles cost a little
+    device compute and a few coded bytes; the decoder drops them."""
+    n = tiles.shape[0]
+    total = _n_groups(n, batch_tiles) * batch_tiles
+    if total == n:
+        return tiles
+    pad = np.zeros((total - n,) + tiles.shape[1:], tiles.dtype)
+    return np.concatenate([tiles, pad])
 
 
 def tiled_compress(model, params, img: np.ndarray,
@@ -78,9 +92,11 @@ def tiled_compress(model, params, img: np.ndarray,
     strings: List[bytes] = []
     zy_shape = None
     if arch == "TinyLIC":
-        for lo, hi in _groups(th * tw, batch_tiles):
+        tiles_p = _pad_tiles(tiles, batch_tiles)
+        for g in range(_n_groups(th * tw, batch_tiles)):
+            grp = tiles_p[g * batch_tiles:(g + 1) * batch_tiles]
             out = codec.tinylic_compress(model, params,
-                                         jnp.asarray(tiles[lo:hi]), tables)
+                                         jnp.asarray(grp), tables)
             strings += out["strings"]
             zy_shape = out["shape"]
     else:
@@ -104,13 +120,17 @@ def tiled_decompress(model, params, strings: Sequence[bytes],
     n = th * tw
     tiles = np.zeros((n, tile, tile, 3), np.float32)
     if arch == "TinyLIC":
-        groups = _groups(n, batch_tiles)
-        assert len(strings) == 2 * len(groups), (len(strings), groups)
-        for gi, (lo, hi) in enumerate(groups):
+        groups = _n_groups(n, batch_tiles)
+        assert len(strings) == 2 * groups, (len(strings), groups)
+        for g in range(groups):
+            # every group decodes at the full batch_tiles batch (dummy
+            # pad tiles included) — same program bucket as encode
             x_hat = codec.tinylic_decompress(
-                model, params, list(strings[2 * gi:2 * gi + 2]),
-                tuple(zy_shape[:2]), tables, batch=hi - lo)
-            tiles[lo:hi] = np.asarray(x_hat)
+                model, params, list(strings[2 * g:2 * g + 2]),
+                tuple(zy_shape[:2]), tables, batch=batch_tiles)
+            lo = g * batch_tiles
+            hi = min(lo + batch_tiles, n)
+            tiles[lo:hi] = np.asarray(x_hat)[:hi - lo]
     else:
         assert len(strings) == 2 * n, (len(strings), n)
         for b in range(n):

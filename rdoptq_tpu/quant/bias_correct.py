@@ -52,13 +52,20 @@ def _candidate_stages(model, params) -> List[Tuple[str, object, str]]:
     return out
 
 
-def bias_correct(model, params_fp, params_q, x, report: bool = False):
+def bias_correct(model, params_fp, params_q, x, report: bool = False,
+                 ctx=NULL_CTX):
     """Return ``params_q`` with per-stage bias corrections applied where
     they measurably help.
 
     ``x``: (B, H, W, C) calibration batch. Every stage sees its FP
     input (taped from one fp forward), so corrections are independent
     and the whole computation is one fused program + one fetch.
+
+    ``ctx``: the QuantCtx the corrected model will be EVALUATED with.
+    The quantized stage runs (and the keep/drop guard) use it, so when
+    activation quantization is on, corrections target the act-quantized
+    output distribution rather than an unquantized one the deployment
+    never sees. The FP reference always runs unquantized.
     """
     cands = _candidate_stages(model, params_q)
     names = frozenset(f"{st.name}:in" for _, st, _ in cands)
@@ -73,14 +80,14 @@ def bias_correct(model, params_fp, params_q, x, report: bool = False):
             if x_in is None:
                 continue
             fp_out = st.fn(params_fp, x_in, NULL_CTX)
-            q_out = st.fn(params_q, x_in, NULL_CTX)
+            q_out = st.fn(params_q, x_in, ctx)
             b = get_leaf(params_q, bias_path)
             if fp_out.shape[-1] != b.shape[0]:  # trace-time skip
                 continue
             axes = tuple(range(fp_out.ndim - 1))
             err = jnp.mean(fp_out - q_out, axis=axes)
             q2 = set_leaf(params_q, bias_path, b + err)
-            err2 = jnp.mean(fp_out - st.fn(q2, x_in, NULL_CTX), axis=axes)
+            err2 = jnp.mean(fp_out - st.fn(q2, x_in, ctx), axis=axes)
             res[st.name] = (err, jnp.sum(err ** 2), jnp.sum(err2 ** 2))
         return res
 

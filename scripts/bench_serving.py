@@ -164,10 +164,7 @@ def codec_bench(image_path: str) -> dict:
     """TinyLIC real-codec enc/dec wall-clock, fp32 vs int8-serving
     (mirrors the reference's single_test.py timing protocol: wall-clock
     around compress()/decompress() including the host rANS)."""
-    model = registry.build_model("TinyLIC", 6)
-    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
-    params["eb"] = E.fit_quantiles(params["eb"])
-    tables = codec.build_codec_tables(params["eb"])
+    model, params, tables = _tinylic_codec_setup()
 
     img = datasets.load_image(image_path)
     h, w = img.shape[1], img.shape[2]
@@ -210,6 +207,21 @@ def codec_bench(image_path: str) -> dict:
     return out
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=1)
+def _tinylic_codec_setup():
+    """Shared (cached) model/params/tables for the codec benches — the
+    param init + quantile fit + CDF build is host work worth paying
+    once (keep the single host core free while TPU passes run)."""
+    model = registry.build_model("TinyLIC", 6)
+    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
+    params["eb"] = E.fit_quantiles(params["eb"])
+    tables = codec.build_codec_tables(params["eb"])
+    return model, params, tables
+
+
 def tiled_codec_bench(image_path: str, tile: int = 512,
                       batch_tiles: int = 12) -> dict:
     """Tiled (coding/tiled.py) TinyLIC enc/dec on the same 2K image: the
@@ -218,10 +230,7 @@ def tiled_codec_bench(image_path: str, tile: int = 512,
     the same class as the single whole-image program."""
     from rdoptq_tpu.coding import tiled
 
-    model = registry.build_model("TinyLIC", 6)
-    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
-    params["eb"] = E.fit_quantiles(params["eb"])
-    tables = codec.build_codec_tables(params["eb"])
+    model, params, tables = _tinylic_codec_setup()
 
     img = np.asarray(datasets.load_image(image_path))
     h, w = img.shape[1], img.shape[2]

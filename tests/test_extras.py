@@ -74,7 +74,7 @@ def test_bitstream_file_roundtrip(tmp_path):
     strings = [b"hello-rans-stream", b"z" * 33]
     n = bitstream.write_bitstream(path, "TinyLIC", 6, "mse", (512, 768),
                                   strings)
-    assert n == 17 + sum(4 + len(s) for s in strings)
+    assert n == 18 + sum(4 + len(s) for s in strings)
     back = bitstream.read_bitstream(path)
     assert back["arch"] == "TinyLIC" and back["size"] == (512, 768)
     assert back["strings"] == strings
