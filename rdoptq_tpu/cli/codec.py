@@ -69,15 +69,16 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
     if tile:
         out = tiled.tiled_compress(model, params, np.asarray(img), tables,
                                    arch, tile, batch_tiles)
-        # blob LENGTH discriminates the framing (13 = tiled TinyLIC,
-        # 15 = tiled AR, vs 4 / 8 untiled)
+        # blob LENGTH + 0x54 tag discriminate the framing (13 = tiled
+        # TinyLIC, 17 = tiled AR, vs 4 / 8 untiled)
         if arch == "TinyLIC":
             shape_blob = struct.pack("<BHHHHHH", 0x54, tile // 64,
                                      *out["grid"], batch_tiles,
                                      *out["zy_shape"])
         else:
-            shape_blob = struct.pack("<BHHHHHHH", 0x54, tile // 64,
-                                     *out["grid"], *out["zy_shape"])
+            shape_blob = struct.pack("<BHHHHHHHH", 0x54, tile // 64,
+                                     *out["grid"], batch_tiles,
+                                     *out["zy_shape"])
     else:
         # corner-anchored padding so the decoder can crop at [:h, :w]
         ph = -(-h // 64) * 64 - h
@@ -111,16 +112,16 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
-    if len(shape_blob) in (13, 15) and shape_blob[0] == 0x54:
+    if len(shape_blob) in (13, 17) and shape_blob[0] == 0x54:
         # tiled framing (see encode): length + 'T' tag discriminate
         if len(shape_blob) == 13:
             _, t64, th, tw, bt, zh, zw = struct.unpack("<BHHHHHH",
                                                        shape_blob)
             zy = (zh, zw)
         else:
-            _, t64, th, tw, zh, zw, yh, yw = struct.unpack("<BHHHHHHH",
-                                                           shape_blob)
-            zy, bt = (zh, zw, yh, yw), 16
+            _, t64, th, tw, bt, zh, zw, yh, yw = struct.unpack(
+                "<BHHHHHHHH", shape_blob)
+            zy = (zh, zw, yh, yw)
         x_hat = tiled.tiled_decompress(model, params, strings, t64 * 64,
                                        (th, tw), zy, (h, w), tables, arch,
                                        batch_tiles=bt)

@@ -163,6 +163,104 @@ def _wave_fns(model, h: int, w: int):
             "encode_scan": jax.jit(encode_scan)}
 
 
+@functools.lru_cache(maxsize=16)
+def _wave_fns_b(model, h: int, w: int):
+    """vmapped wave functions: a BATCH of same-size images (the tiles of
+    one large image, coding/tiled.py) runs each wave as one dispatch —
+    the whole grid decodes in the same 3(h-1)+w host round trips as a
+    single image."""
+    fns = _wave_fns(model, h, w)
+    return {
+        "pixels": fns["pixels"], "counts": fns["counts"],
+        "encode_scan": jax.jit(jax.vmap(fns["encode_scan"],
+                                        in_axes=(None, 0, 0))),
+        "decode_step": jax.jit(jax.vmap(fns["decode_step"],
+                                        in_axes=(None, 0, 0, None, 0, 0))),
+        "wave_update": jax.jit(jax.vmap(fns["wave_update"],
+                                        in_axes=(0, None, 0, 0))),
+    }
+
+
+def ar_compress_batched(model, params, x, tables: CodecTables) -> Dict:
+    """Batch variant of :func:`ar_compress`: x (B, H, W, 3) -> ONE
+    y-stream + ONE z-stream for the whole batch. Canonical symbol order:
+    wave-major, then image, then valid slots channel-major — the order
+    the batched decoder can produce parameters in (each wave's params
+    for ALL images come from one vmapped dispatch)."""
+    y, z = _analysis_fn(model)(params, jnp.asarray(x))
+    med = jnp.asarray(tables.medians, jnp.float32).reshape(1, 1, 1, -1)
+    z_sym, z_hat = factorized_round(z, med)
+    hyper = _hyper_fn(model)(params, z_hat)
+
+    B, h, w = int(y.shape[0]), int(y.shape[1]), int(y.shape[2])
+    fns = _wave_fns_b(model, h, w)
+    y_hat, syms, idxs = fns["encode_scan"](params, y, hyper)  # (B,T,P,M)
+    z_sym, syms_np, idx_all = jax.device_get((z_sym, syms, idxs))
+    z_string = encode_factorized_symbols(tables, z_sym)
+    counts = fns["counts"]
+    sym_list, idx_list = [], []
+    for t in range(syms_np.shape[1]):
+        n = counts[t]
+        if n == 0:
+            continue
+        for b in range(B):
+            sym_list.append(syms_np[b, t, :n].reshape(-1))
+            idx_list.append(idx_all[b, t, :n].reshape(-1))
+    g = tables.gaussian
+    y_string = rans.encode_with_indexes(
+        np.concatenate(sym_list), np.concatenate(idx_list), g.cdf,
+        g.cdf_lengths, g.offsets)
+    return {"strings": [y_string, z_string],
+            "shape": (int(z.shape[1]), int(z.shape[2])),
+            "y_shape": (h, w), "y_hat": y_hat}
+
+
+def ar_decompress_batched(model, params, strings: List[bytes],
+                          shape: Tuple[int, int],
+                          y_shape: Tuple[int, int],
+                          tables: CodecTables, batch: int) -> np.ndarray:
+    """Batch variant of :func:`ar_decompress`: one vmapped dispatch per
+    wave decodes every image's wave-t symbols together."""
+    y_string, z_string = strings
+    z_hat = jnp.asarray(decompress_factorized(tables, z_string, shape,
+                                              batch))
+    hyper = _hyper_fn(model)(params, z_hat)
+    h, w = y_shape
+    M = model.latent_channels
+    fns = _wave_fns_b(model, h, w)
+    pixels, counts = fns["pixels"], fns["counts"]
+    dec = rans.RansDecoderStream(y_string)
+    g = tables.gaussian
+
+    B = batch
+    y_hat_pad = jnp.zeros((B, h + 4, w + 4, M), jnp.float32)
+    P, T = pixels.shape[1], pixels.shape[0]
+    prev_vals = jnp.zeros((B, P, M), jnp.float32)
+    prev_valid = jnp.zeros((B, P), bool)
+    for t in range(T):
+        n = int(counts[t])
+        y_hat_pad, idx_j, means_j = fns["decode_step"](
+            params, y_hat_pad, hyper, jnp.int32(t), prev_vals, prev_valid)
+        if n == 0:
+            prev_valid = jnp.zeros((B, P), bool)
+            continue
+        idx, means = jax.device_get((idx_j, means_j))  # one transfer
+        vals = np.zeros((B, P, M), np.float32)
+        for b in range(B):
+            sym = dec.decode(idx[b, :n].reshape(-1), g.cdf, g.cdf_lengths,
+                             g.offsets)
+            vals[b, :n] = sym.reshape(n, M) + means[b, :n]
+        prev_vals = jnp.asarray(vals)
+        prev_valid = jnp.asarray(
+            np.broadcast_to(np.arange(P) < n, (B, P)))
+    y_hat_pad = fns["wave_update"](y_hat_pad, jnp.int32(T - 1), prev_vals,
+                                   prev_valid)
+    dec.close()
+    y_hat = y_hat_pad[:, 2:-2, 2:-2, :]
+    x_hat = _synthesis_fn(model)(params, y_hat)
+    return np.clip(np.asarray(x_hat), 0.0, 1.0)
+
+
 def ar_compress(model, params, x, tables: CodecTables) -> Dict:
     """Compress with the causal-context codec. All transform, context and
     index math on device (asynchronously dispatched); ONE host
@@ -266,4 +364,5 @@ def ar_decompress(model, params, strings: List[bytes],
     return np.clip(np.asarray(x_hat), 0.0, 1.0)
 
 
-__all__ = ["wavefront_schedule", "ar_compress", "ar_decompress"]
+__all__ = ["wavefront_schedule", "ar_compress", "ar_decompress",
+           "ar_compress_batched", "ar_decompress_batched"]

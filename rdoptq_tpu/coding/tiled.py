@@ -14,9 +14,12 @@ fixes both TPU-natively:
 * peak activation memory is bounded by ``batch_tiles`` regardless of
   image size (8K+ inputs stream through in tile groups).
 
-Autoregressive (wavefront) models code per tile through one shared
-compiled program. Rate overhead vs whole-image coding comes from lost
-cross-tile context (~seams); the eval harness quantifies it per model.
+Autoregressive (wavefront) models batch the same way (`coding/ar.py`
+`ar_compress_batched`/`ar_decompress_batched`): a whole tile group
+decodes in the 3(h-1)+w host round trips of a SINGLE tile — the
+per-wave device dispatch is vmapped over the group. Rate overhead vs
+whole-image coding comes from lost cross-tile context (~seams); the
+eval harness quantifies it per model.
 
 Bitstream layout: one z + one y stream per tile GROUP (a group = up to
 ``batch_tiles`` tiles coded as one batch), tile-row-major.
@@ -91,20 +94,18 @@ def tiled_compress(model, params, img: np.ndarray,
     tiles = tile_image(np.asarray(img), tile)
     strings: List[bytes] = []
     zy_shape = None
-    if arch == "TinyLIC":
-        tiles_p = _pad_tiles(tiles, batch_tiles)
-        for g in range(_n_groups(th * tw, batch_tiles)):
-            grp = tiles_p[g * batch_tiles:(g + 1) * batch_tiles]
-            out = codec.tinylic_compress(model, params,
-                                         jnp.asarray(grp), tables)
-            strings += out["strings"]
+    tiles_p = _pad_tiles(tiles, batch_tiles)
+    for g in range(_n_groups(th * tw, batch_tiles)):
+        grp = jnp.asarray(tiles_p[g * batch_tiles:(g + 1) * batch_tiles])
+        if arch == "TinyLIC":
+            out = codec.tinylic_compress(model, params, grp, tables)
             zy_shape = out["shape"]
-    else:
-        for b in range(th * tw):  # one shared compiled program
-            out = ar.ar_compress(model, params, jnp.asarray(tiles[b:b + 1]),
-                                 tables)
-            strings += out["strings"]
+        else:
+            # batched wavefront: the whole group encodes with one host
+            # synchronization (and decodes in 3(h-1)+w round trips total)
+            out = ar.ar_compress_batched(model, params, grp, tables)
             zy_shape = out["shape"] + out["y_shape"]
+        strings += out["strings"]
     return {"strings": strings, "tile": tile, "grid": (th, tw),
             "zy_shape": zy_shape}
 
@@ -119,26 +120,23 @@ def tiled_decompress(model, params, strings: Sequence[bytes],
     h, w = size
     n = th * tw
     tiles = np.zeros((n, tile, tile, 3), np.float32)
-    if arch == "TinyLIC":
-        groups = _n_groups(n, batch_tiles)
-        assert len(strings) == 2 * groups, (len(strings), groups)
-        for g in range(groups):
-            # every group decodes at the full batch_tiles batch (dummy
-            # pad tiles included) — same program bucket as encode
+    groups = _n_groups(n, batch_tiles)
+    assert len(strings) == 2 * groups, (len(strings), groups)
+    for g in range(groups):
+        grp_strings = list(strings[2 * g:2 * g + 2])
+        # every group decodes at the full batch_tiles batch (dummy pad
+        # tiles included) — same program bucket as encode
+        if arch == "TinyLIC":
             x_hat = codec.tinylic_decompress(
-                model, params, list(strings[2 * g:2 * g + 2]),
-                tuple(zy_shape[:2]), tables, batch=batch_tiles)
-            lo = g * batch_tiles
-            hi = min(lo + batch_tiles, n)
-            tiles[lo:hi] = np.asarray(x_hat)[:hi - lo]
-    else:
-        assert len(strings) == 2 * n, (len(strings), n)
-        for b in range(n):
-            x_hat = ar.ar_decompress(model, params,
-                                     list(strings[2 * b:2 * b + 2]),
-                                     tuple(zy_shape[:2]),
-                                     tuple(zy_shape[2:]), tables)
-            tiles[b] = np.asarray(x_hat)[0]
+                model, params, grp_strings, tuple(zy_shape[:2]), tables,
+                batch=batch_tiles)
+        else:
+            x_hat = ar.ar_decompress_batched(
+                model, params, grp_strings, tuple(zy_shape[:2]),
+                tuple(zy_shape[2:]), tables, batch=batch_tiles)
+        lo = g * batch_tiles
+        hi = min(lo + batch_tiles, n)
+        tiles[lo:hi] = np.asarray(x_hat)[:hi - lo]
     return untile_image(np.clip(tiles, 0.0, 1.0), th, tw, h, w)
 
 

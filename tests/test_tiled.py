@@ -92,34 +92,58 @@ def test_tiled_roundtrip_matches_forward(tiny_codec):
     assert np.max(np.abs(rec - want)) < 1e-4
 
 
-def test_tiled_ar_roundtrip():
-    """AR (wavefront) tiled path: per-tile streams through one shared
-    compiled program, bit-exact against the untiled per-tile codec."""
+def _tiny_ar_setup():
     from rdoptq_tpu.models.minnen2018 import Minnen2018
-    from rdoptq_tpu.coding import ar
 
     model = Minnen2018(N=8, M=8)
     params = dict(model.init(jax.random.PRNGKey(0)))
     params["eb"] = E.fit_quantiles(params["eb"])
     tables = codec.build_codec_tables(params["eb"])
+    return model, params, tables
+
+
+def test_batched_ar_roundtrip():
+    """Batched wavefront coding: decode must reproduce exactly the
+    synthesis of the encoder's own y_hat (the vmapped encode-scan and
+    the vmapped per-wave decode must agree bitwise on every symbol)."""
+    from rdoptq_tpu.coding import ar
+
+    model, params, tables = _tiny_ar_setup()
+    x = jax.random.uniform(jax.random.PRNGKey(9), (3, 64, 64, 3))
+    enc = ar.ar_compress_batched(model, params, x, tables)
+    rec = ar.ar_decompress_batched(model, params, enc["strings"],
+                                   enc["shape"], enc["y_shape"], tables,
+                                   batch=3)
+    want = np.clip(np.asarray(
+        ar._synthesis_fn(model)(params, enc["y_hat"])), 0, 1)
+    np.testing.assert_array_equal(rec, want)
+
+
+def test_tiled_ar_roundtrip():
+    """AR (wavefront) tiled path: the whole grid codes as one batched
+    group; decode must equal the synthesis of the encoder's y_hat."""
+    from rdoptq_tpu.coding import ar
+
+    model, params, tables = _tiny_ar_setup()
     rng = np.random.default_rng(4)
     img = rng.random((1, 70, 120, 3)).astype(np.float32)
 
     out = tiled.tiled_compress(model, params, img, tables, "Minnen2018",
-                               tile=64)
+                               tile=64, batch_tiles=4)
     th, tw = out["grid"]
     assert (th, tw) == (2, 2)
     rec = tiled.tiled_decompress(model, params, out["strings"], 64,
                                  (th, tw), out["zy_shape"], (70, 120),
-                                 tables, "Minnen2018")
+                                 tables, "Minnen2018", batch_tiles=4)
     assert rec.shape == (1, 70, 120, 3)
 
-    tiles = tiled.tile_image(img, 64)
-    o0 = ar.ar_compress(model, params, jnp.asarray(tiles[:1]), tables)
-    r0 = ar.ar_decompress(model, params, o0["strings"], o0["shape"],
-                          o0["y_shape"], tables)
-    np.testing.assert_array_equal(rec[0, :64, :64, :],
-                                  np.clip(np.asarray(r0), 0, 1)[0])
+    tiles = tiled._pad_tiles(tiled.tile_image(img, 64), 4)
+    enc = ar.ar_compress_batched(model, params, jnp.asarray(tiles),
+                                 tables)
+    xs = np.clip(np.asarray(
+        ar._synthesis_fn(model)(params, enc["y_hat"])), 0, 1)
+    want = tiled.untile_image(xs, th, tw, 70, 120)
+    np.testing.assert_array_equal(rec, want)
 
 
 def test_cli_tiled_roundtrip(tmp_path, monkeypatch):
