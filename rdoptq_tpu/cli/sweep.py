@@ -96,7 +96,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
         compute_dtype: str = "float32", remat: bool = False,
         batch_size: int = 4, calib_dir: str = DEFAULT_CALIB_DIR,
         extra_eval=(), eval_pad_to=None,
-        bias_correct: bool = False) -> dict:
+        bias_correct: bool = False,
+        mixed_avg_bits: float = 0.0) -> dict:
     """iters_w=0 -> nearest-rounding weights (no RDO calibration); >0 runs
     the full per-unit calibration at each quality. ``extra_eval`` is a
     sequence of (name, directory) evaluation sets beyond the main one
@@ -113,7 +114,8 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                     for name, d, _ in extra_eval}
     extra_pad = {name: pt for name, _, pt in extra_eval}
     calib_images = (datasets.load_dir(calib_dir)
-                    if iters_w > 0 or bias_correct else [])
+                    if iters_w > 0 or bias_correct or mixed_avg_bits
+                    else [])
     pad = pad_multiple_for(arch)
 
     config = {"arch": arch, "n_bits_w": n_bits_w, "n_bits_a": n_bits_a,
@@ -127,12 +129,14 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
               "seed": seed,
               "extra_eval": sorted([name, d, list(pt) if pt else None]
                                    for name, d, pt in extra_eval)}
-    if iters_w > 0 or bias_correct:  # calibration data shapes results
-        config["calib_dir"] = calib_dir
+    if iters_w > 0 or bias_correct or mixed_avg_bits:
+        config["calib_dir"] = calib_dir  # calibration data shapes results
     if eval_pad_to is not None:  # changes eval numbers -> resume key
         config["eval_pad_to"] = list(eval_pad_to)
     if bias_correct:
         config["bias_correct"] = True
+    if mixed_avg_bits:
+        config["mixed_avg_bits"] = mixed_avg_bits
     # per-quality resume file: TPU tunnel faults kill multi-quality runs;
     # a rerun skips completed qualities (losing at most one calibration).
     # `anchors` persists the FP32 eval per quality so a mid-calibration
@@ -195,9 +199,22 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             save_partial()
 
         leaves = wrap.find_quant_leaves(params)
+        overrides = dict(policy.first_last_8bit(leaves))
+        if mixed_avg_bits:
+            from ..quant import sensitivity
+            bits_list = tuple(sorted({max(2, n_bits_w - 4),
+                                      max(2, n_bits_w - 2),
+                                      n_bits_w, n_bits_w + 2}))
+            probe = datasets.random_crops(calib_images, 4, 256, seed + 3)
+            sens = sensitivity.unit_sensitivity(
+                model, params, probe, bits_list=bits_list)
+            alloc = dict(sensitivity.allocate_bits(
+                model, sens, mixed_avg_bits, bits_list=bits_list))
+            # mixed allocation first; the first/last-8-bit policy wins
+            overrides = {**alloc, **overrides}
         wcfg = wrap.WeightQuantConfig(
             n_bits=n_bits_w, channel_wise=True,
-            bit_overrides=policy.first_last_8bit(leaves))
+            bit_overrides=tuple(sorted(overrides.items())))
         skips = policy.output_act_skips(model)
         # per-unit resume snapshot (same mechanism as cli/calibrate's
         # ptq_state_partial): a device fault mid-calibration loses at
@@ -354,6 +371,11 @@ def main(argv=None):
                    help="fold the measured per-stage quantization output "
                         "shift into biases (zero-iteration correction on "
                         "calib_dir crops; quant/bias_correct.py)")
+    p.add_argument("--mixed_avg_bits", type=float, default=0.0,
+                   help="mixed-precision weights: measure per-unit RD "
+                        "sensitivity on calib_dir crops and allocate bit "
+                        "widths under this average-bits budget "
+                        "(quant/sensitivity.py); 0 = uniform n_bits_w")
     a = p.parse_args(argv)
     pad_to = None
     if a.eval_pad_to:
@@ -364,7 +386,7 @@ def main(argv=None):
         a.out, compute_dtype=a.compute_dtype, remat=a.remat,
         batch_size=a.batch_size, calib_dir=a.calib_dir,
         extra_eval=parse_extra_eval(a.extra_eval), eval_pad_to=pad_to,
-        bias_correct=a.bias_correct)
+        bias_correct=a.bias_correct, mixed_avg_bits=a.mixed_avg_bits)
 
 
 if __name__ == "__main__":
