@@ -112,6 +112,10 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
+    if len(shape_blob) not in (4, 8, 13, 17):
+        raise ValueError(
+            f"unsupported shape framing ({len(shape_blob)}-byte blob) — "
+            "bitstream written by an incompatible codec revision")
     if len(shape_blob) in (13, 17) and shape_blob[0] == 0x54:
         # tiled framing (see encode): length + 'T' tag discriminate
         if len(shape_blob) == 13:

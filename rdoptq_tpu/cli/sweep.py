@@ -199,22 +199,6 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
             save_partial()
 
         leaves = wrap.find_quant_leaves(params)
-        overrides = dict(policy.first_last_8bit(leaves))
-        if mixed_avg_bits:
-            from ..quant import sensitivity
-            bits_list = tuple(sorted({max(2, n_bits_w - 4),
-                                      max(2, n_bits_w - 2),
-                                      n_bits_w, n_bits_w + 2}))
-            probe = datasets.random_crops(calib_images, 4, 256, seed + 3)
-            sens = sensitivity.unit_sensitivity(
-                model, params, probe, bits_list=bits_list)
-            alloc = dict(sensitivity.allocate_bits(
-                model, sens, mixed_avg_bits, bits_list=bits_list))
-            # mixed allocation first; the first/last-8-bit policy wins
-            overrides = {**alloc, **overrides}
-        wcfg = wrap.WeightQuantConfig(
-            n_bits=n_bits_w, channel_wise=True,
-            bit_overrides=tuple(sorted(overrides.items())))
         skips = policy.output_act_skips(model)
         # per-unit resume snapshot (same mechanism as cli/calibrate's
         # ptq_state_partial): a device fault mid-calibration loses at
@@ -231,6 +215,29 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                 log.warning("q%d: snapshot %s unreadable (%s): starting "
                             "fresh", q, snap, e)
         if state is None:
+            # the mixed-precision probe runs ONLY on a fresh state (a
+            # resumed snapshot already embeds its bit assignment; the
+            # probe is minutes of full-model forwards)
+            overrides = dict(policy.first_last_8bit(leaves))
+            if mixed_avg_bits:
+                from ..quant import sensitivity
+                from ..utils.config import LAMBDAS_MSE
+                bits_list = tuple(sorted({max(2, n_bits_w - 4),
+                                          max(2, n_bits_w - 2),
+                                          n_bits_w, n_bits_w + 2}))
+                probe = datasets.random_crops(calib_images, 4, 256,
+                                              seed + 3)
+                # score with THIS quality's rate-distortion tradeoff
+                lam = LAMBDAS_MSE[min(q, len(LAMBDAS_MSE)) - 1]
+                sens = sensitivity.unit_sensitivity(
+                    model, params, probe, bits_list=bits_list, lmbda=lam)
+                alloc = dict(sensitivity.allocate_bits(
+                    model, sens, mixed_avg_bits, bits_list=bits_list))
+                # mixed allocation first; first/last-8-bit policy wins
+                overrides = {**alloc, **overrides}
+            wcfg = wrap.WeightQuantConfig(
+                n_bits=n_bits_w, channel_wise=True,
+                bit_overrides=tuple(sorted(overrides.items())))
             state = rdo.init_ptq_state(params, wcfg)
         calib_s = 0.0
         if iters_w > 0:
@@ -279,6 +286,18 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                     for name in extra_images},
                           "calibration_seconds": round(calib_s, 1),
                           "batch_size": batch_size}
+        if mixed_avg_bits:
+            # --mixed_avg_bits budgets PER UNIT; record the realized
+            # per-WEIGHT average (policy overrides included) so the
+            # artifact states the actual model-size tradeoff
+            from ..models.base import get_leaf
+            tot_p = tot_b = 0
+            for leaf in leaves:
+                n = int(get_leaf(params, leaf.path).size)
+                tot_p += n
+                tot_b += n * state.cfg.bits_for(leaf.path)
+            per_quality[q]["mixed_bits_per_weight"] = round(
+                tot_b / max(tot_p, 1), 3)
         os.makedirs(os.path.dirname(partial_path) or ".", exist_ok=True)
         save_partial()
         if os.path.exists(snap):
@@ -374,8 +393,10 @@ def main(argv=None):
     p.add_argument("--mixed_avg_bits", type=float, default=0.0,
                    help="mixed-precision weights: measure per-unit RD "
                         "sensitivity on calib_dir crops and allocate bit "
-                        "widths under this average-bits budget "
-                        "(quant/sensitivity.py); 0 = uniform n_bits_w")
+                        "widths under this average-bits-per-UNIT budget "
+                        "(quant/sensitivity.py); the realized per-weight "
+                        "average is recorded in the artifact; 0 = "
+                        "uniform n_bits_w")
     a = p.parse_args(argv)
     pad_to = None
     if a.eval_pad_to:

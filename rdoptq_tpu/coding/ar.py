@@ -245,11 +245,13 @@ def ar_decompress_batched(model, params, strings: List[bytes],
             prev_valid = jnp.zeros((B, P), bool)
             continue
         idx, means = jax.device_get((idx_j, means_j))  # one transfer
+        # wave t's symbols are contiguous and image-major in the stream
+        # (encode packs `for b: syms[b, t, :n]`): ONE rANS call decodes
+        # the whole wave for every image
+        sym = dec.decode(idx[:, :n].reshape(-1), g.cdf, g.cdf_lengths,
+                         g.offsets)
         vals = np.zeros((B, P, M), np.float32)
-        for b in range(B):
-            sym = dec.decode(idx[b, :n].reshape(-1), g.cdf, g.cdf_lengths,
-                             g.offsets)
-            vals[b, :n] = sym.reshape(n, M) + means[b, :n]
+        vals[:, :n] = sym.reshape(B, n, M) + means[:, :n]
         prev_vals = jnp.asarray(vals)
         prev_valid = jnp.asarray(
             np.broadcast_to(np.arange(P) < n, (B, P)))

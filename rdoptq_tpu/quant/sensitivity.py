@@ -49,7 +49,10 @@ def unit_sensitivity(model, params, cali_data,
     leaves = wrap.find_quant_leaves(params)
     score = _score_fn(model, lmbda)
     x = jnp.asarray(cali_data)
-    x_hat_ref = model.forward(params, x)["x_hat"]
+    # jitted: an eager full-model forward pays per-op dispatch latency
+    # over the remote device link
+    x_hat_ref = jax.jit(
+        lambda p, v: model.forward(p, v)["x_hat"])(params, x)
     base = float(score(params, x, x_hat_ref))
 
     sens: Dict[str, Dict[int, float]] = {}
@@ -80,7 +83,15 @@ def allocate_bits(model, sens: Dict[str, Dict[int, float]],
     """Greedy mixed-precision allocation: start every unit at the lowest
     candidate width, repeatedly upgrade the unit with the best
     loss-reduction-per-extra-bit until the average hits ``avg_bits``.
-    Returns per-leaf ``bit_overrides`` for WeightQuantConfig."""
+    Returns per-leaf ``bit_overrides`` for WeightQuantConfig.
+
+    ``avg_bits`` budgets the average over calibration UNITS (stages),
+    not parameters — units differ in weight count, so the realized
+    bits-per-weight can deviate; callers that report model size should
+    compute it from the final overrides (cli/sweep records
+    ``mixed_bits_per_weight`` per quality). Units whose sensitivity
+    shows no gain are never upgraded, so the budget may be underspent
+    (smaller model than asked, never larger)."""
     bits_list = sorted(bits_list)
     stage_leaves = {}
     for coder_name in model.calibration_order():

@@ -118,6 +118,20 @@ def test_batched_ar_roundtrip():
         ar._synthesis_fn(model)(params, enc["y_hat"])), 0, 1)
     np.testing.assert_array_equal(rec, want)
 
+    # cross-check against the known-good SERIAL codec: the vmapped
+    # encode must produce (up to knife-edge rounding under a different
+    # compiled program) the same quantized latents per image
+    y, z = ar._analysis_fn(model)(params, x)
+    med = jnp.asarray(tables.medians, jnp.float32).reshape(1, 1, 1, -1)
+    from rdoptq_tpu.coding.codec import factorized_round
+    _, z_hat = factorized_round(z, med)
+    hyper = ar._hyper_fn(model)(params, z_hat)
+    fns = ar._wave_fns(model, 4, 4)
+    y_hat_serial, _, _ = fns["encode_scan"](params, y[1], hyper[1])
+    agree = np.mean(np.asarray(enc["y_hat"][1]) ==
+                    np.asarray(y_hat_serial))
+    assert agree > 0.99, agree
+
 
 def test_tiled_ar_roundtrip():
     """AR (wavefront) tiled path: the whole grid codes as one batched
