@@ -1,0 +1,163 @@
+#!/usr/bin/env bash
+# Measurement queue: every TPU-bound result this framework still owes,
+# ordered by value-per-minute, each stage skip-if-artifact-exists and
+# bounded by a KILL timeout (tunnel faults hang clients instead of
+# raising — see CLAUDE.md). Run it whenever a chip is available:
+#
+#   BUDGET_MIN=300 bash scripts/measurement_queue.sh
+#
+# Stages resume per quality / per unit, so re-running after a fault or
+# a shorter budget loses almost nothing. Waits for the TPU relay
+# (port 8082 + a bounded device probe) before starting.
+set -u
+cd "$(dirname "$0")/.."
+
+BUDGET_MIN="${BUDGET_MIN:-420}"
+START=$(date +%s)
+HARD_END=$((START + BUDGET_MIN * 60))
+REFDATA=/root/reference/task-oriented-PTQ/datasets
+TECNICK=$REFDATA/tecnick100/tecnick/RGB_OR_1200x1200
+NOW() { date +%s; }
+left_min() { echo $(( (HARD_END - $(NOW)) / 60 )); }
+budget_s() { echo $(( HARD_END - $(NOW) - 180 )); }
+
+commit_artifacts() {
+  git add artifacts/ 2>/dev/null
+  git diff --cached --quiet || git commit -q -m "$1" || true
+}
+
+port_open() { (echo > /dev/tcp/127.0.0.1/8082) 2>/dev/null; }
+device_ok() {
+  timeout -s KILL 180 python - <<'EOF' >/dev/null 2>&1
+import jax, jax.numpy as jnp
+x = jnp.ones((256, 256))
+v = float(jax.jit(lambda a: (a @ a).sum())(x))
+assert v == 256 * 256 * 256
+EOF
+}
+
+echo "$(date) queue up; waiting for TPU (budget ${BUDGET_MIN}min)"
+while (( $(NOW) < HARD_END )); do
+  if port_open && device_ok; then break; fi
+  sleep 60
+done
+(( $(NOW) >= HARD_END )) && { echo "no TPU within budget"; exit 1; }
+echo "$(date) TPU live; left=$(left_min)min"
+
+retry() {
+  local max="$1" n=1; shift
+  until timeout --signal=KILL "${ATTEMPT_TIMEOUT:-2400}" "$@"; do
+    (( n >= max )) && { echo "== FAILED after $n attempts: $*" >&2; return 1; }
+    n=$((n + 1)); echo "== attempt $n/$max: $*" >&2; sleep 240
+  done
+}
+
+# ---- perf roofline (INVALID artifact awaiting this rerun)
+if (( $(left_min) >= 18 )) && \
+   grep -q '"INVALID"' artifacts/perf_analysis.json 2>/dev/null; then
+  echo "$(date) == perf roofline"
+  timeout -s KILL 2400 python scripts/perf_analysis.py \
+    > /tmp/perf_analysis_q.log 2>&1
+  commit_artifacts "perf: roofline re-measured (synchronous-fetch protocol)"
+fi
+
+# ---- serving bench (single-sync codec + tiled 2K + fused-GDN rows)
+if (( $(left_min) >= 25 )) && \
+   ! grep -q codec_tinylic_2k_tiled artifacts/serving_bench.json 2>/dev/null
+then
+  echo "$(date) == serving bench"
+  timeout -s KILL 3000 python scripts/bench_serving.py \
+    > /tmp/bench_serving_q.log 2>&1
+  commit_artifacts "serving bench: tiled 2K + fused-GDN rows"
+fi
+
+# ---- Cheng2020 clean-split re-measure (train on Tecnick, calib CLIC)
+if (( $(left_min) >= 170 )) && [ ! -f artifacts/cheng2020_w8a8_rdo.json ]; then
+  echo "$(date) == Cheng2020 clean pipeline (left=$(left_min)min)"
+  SWEEP_FLAGS="--batch_size 2" timeout -s KILL $(budget_s) \
+    bash scripts/repro_results.sh Cheng2020 8000 3000 \
+    >> /tmp/cheng_clean.log 2>&1
+  commit_artifacts "Cheng2020 clean-split re-measure"
+fi
+
+# ---- Minnen2018 clean-split re-measure
+if (( $(left_min) >= 110 )) && [ ! -f artifacts/minnen2018_w8a8_rdo.json ]; then
+  echo "$(date) == Minnen2018 clean pipeline (left=$(left_min)min)"
+  timeout -s KILL $(budget_s) bash scripts/repro_results.sh \
+    Minnen2018 8000 3000 >> /tmp/minnen_clean.log 2>&1
+  commit_artifacts "Minnen2018 clean-split re-measure"
+fi
+
+# ---- TinyLIC variable-rate anchor + light-PTQ measured table
+if (( $(left_min) >= 75 )) && [ ! -f artifacts/tinylic_light_ptq.json ]; then
+  echo "$(date) == TinyLIC pipeline (left=$(left_min)min)"
+  timeout -s KILL $(budget_s) bash scripts/repro_tinylic.sh 8000 \
+    >> /tmp/tinylic_pipeline.log 2>&1
+  commit_artifacts "TinyLIC variable-rate anchor + light-PTQ results"
+fi
+
+# ---- Lu2022 on CLIC (anchors are committed in ckpts/)
+if (( $(left_min) >= 30 )) && [ ! -f artifacts/lu2022_clic_w8_nearest.json ]
+then
+  echo "$(date) == Lu2022 CLIC W8 nearest (left=$(left_min)min)"
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 \
+    --qualities 3,4,5,6 --ckpt_pattern 'ckpts/lu2022_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --iters_w 0 \
+    --test_dir "$REFDATA/clic41" --eval_pad_to 1792x2048 \
+    --out artifacts/lu2022_clic_w8_nearest.json > /tmp/lu2022_clic.log 2>&1
+  commit_artifacts "Lu2022 CLIC-30 W8 nearest evaluation"
+fi
+
+# ---- bias-correction measurement (new quant mode, anchors committed)
+if (( $(left_min) >= 25 )) && [ ! -f artifacts/lu2022_w8_bc_nearest.json ]
+then
+  echo "$(date) == Lu2022 W8 nearest + bias correction (left=$(left_min)min)"
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 \
+    --qualities 3,4,5,6 --ckpt_pattern 'ckpts/lu2022_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --iters_w 0 --bias_correct \
+    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/lu2022_w8_bc_nearest.json > /tmp/lu_bc_sweep.log 2>&1
+  commit_artifacts "Lu2022 W8 nearest + bias correction sweep"
+fi
+
+# ---- mixed-precision measurement (avg 6 bits/unit vs uniform W8)
+if (( $(left_min) >= 35 )) && [ ! -f artifacts/lu2022_mixed6_nearest.json ]
+then
+  echo "$(date) == Lu2022 mixed-precision avg-6 (left=$(left_min)min)"
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 \
+    --qualities 3,4,5,6 --ckpt_pattern 'ckpts/lu2022_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --iters_w 0 --mixed_avg_bits 6 \
+    --calib_dir "$REFDATA/clic41" \
+    --out artifacts/lu2022_mixed6_nearest.json > /tmp/lu_mx_sweep.log 2>&1
+  commit_artifacts "Lu2022 mixed-precision (avg 6 bits/unit) nearest sweep"
+fi
+
+# ---- Cheng2020 GMM variant
+if (( $(left_min) >= 65 )) && [ ! -f artifacts/cheng2020gmm_w8a8_rdo.json ]
+then
+  echo "$(date) == GMM pipeline (left=$(left_min)min)"
+  timeout -s KILL $(budget_s) bash scripts/repro_gmm.sh 6000 2000 \
+    >> /tmp/gmm_pipeline.log 2>&1
+  commit_artifacts "Cheng2020 GMM: trained anchor + W8A8 sweep"
+fi
+
+# ---- Lu2022 ms-ssim-trained q6 row (lambda=60.50)
+if (( $(left_min) >= 70 )) && [ ! -f artifacts/lu2022_msssim_w8a8_rdo.json ]
+then
+  if [ ! -f ckpts/lu2022msssim_q6.npz ]; then
+    echo "$(date) == ms-ssim anchor (left=$(left_min)min)"
+    ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
+      --arch Lu2022 --quality 6 --metric ms-ssim --lmbda 60.50 \
+      --steps 8000 --data_dir "$TECNICK" \
+      --out ckpts/lu2022msssim_q6.npz > /tmp/lu_msssim_train.log 2>&1
+  fi
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 6 \
+    --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w 2000 --batch_size 2 \
+    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/lu2022_msssim_w8a8_rdo.json > /tmp/lu_msssim.log 2>&1
+  commit_artifacts "Lu2022 ms-ssim q6: FP32 vs W8A8 rows"
+fi
+
+commit_artifacts "artifacts: end-of-queue snapshot"
+echo "$(date) queue done (left=$(left_min)min)"
