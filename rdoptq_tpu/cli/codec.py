@@ -54,13 +54,74 @@ def _prepare(arch: str, quality: int, checkpoint_path: str, artifact: str,
     return model, params, tables
 
 
+import functools
+
+
+@functools.lru_cache(maxsize=16)
+def _bpp_fn(model):
+    @jax.jit
+    def run(params, x):
+        out = model.forward(params, x)
+        num = x.shape[0] * x.shape[1] * x.shape[2]
+        return sum(-jnp.sum(jnp.log2(l))
+                   for l in out["likelihoods"].values()) / num
+    return run
+
+
+def _estimated_bpp(model, params, x) -> float:
+    """Likelihood-model rate estimate (one jitted forward, cached per
+    model so repeated rate-control probes reuse compiles)."""
+    return float(_bpp_fn(model)(params, x))
+
+
+def pick_quality_for_bpp(target_bpp: float, image_path: str,
+                         checkpoint_path: str = "", artifact: str = "",
+                         seed: int = 1005) -> int:
+    """Rate control for the variable-rate TinyLIC: walk the trained
+    quality/lambda grid from the top and return the highest quality
+    whose ESTIMATED bpp fits the target (the likelihood estimate tracks
+    the coded rate within ~1-2%, test_codec.py). One compile per probed
+    grid point, cached across images — lambda is a compile-time
+    constant by design (train.train_variable_rate), so rate control
+    snaps to the trained grid instead of bisecting a continuum.
+
+    Beyond-reference capability: the reference ships a variable-rate
+    TinyLIC but no way to hit a bitrate."""
+    from ..utils.config import LAMBDAS_MSE
+
+    img = datasets.load_image(image_path)
+    h, w = img.shape[1], img.shape[2]
+    ph = -(-h // 64) * 64 - h
+    pw = -(-w // 64) * 64 - w
+    x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    for q in range(len(LAMBDAS_MSE), 0, -1):
+        model, params, _ = _prepare("TinyLIC", q, checkpoint_path,
+                                    artifact, seed)
+        bpp = _estimated_bpp(model, params, x)
+        log.info("target_bpp probe: q%d -> %.4f bpp (target %.4f)", q,
+                 bpp, target_bpp)
+        if bpp <= target_bpp:
+            return q
+    log.warning("target_bpp %.4f below the grid floor: using q1",
+                target_bpp)
+    return 1
+
+
 def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
            quality: int = 6, checkpoint_path: str = "", artifact: str = "",
            metric: str = "mse", seed: int = 1005, tile: int = 0,
-           batch_tiles: int = 16) -> dict:
+           batch_tiles: int = 16, target_bpp: float = 0.0) -> dict:
     """``tile`` > 0 switches to the tiled codec (coding/tiled.py):
     fixed-shape tiles ride the batch axis, so any resolution runs one
-    compiled program at bounded memory."""
+    compiled program at bounded memory. ``target_bpp`` > 0 (TinyLIC)
+    picks the quality/lambda grid point that fits the budget."""
+    if target_bpp > 0:
+        if arch != "TinyLIC":
+            raise ValueError("--target_bpp requires the variable-rate "
+                             "TinyLIC (fixed-rate archs select rate by "
+                             "checkpoint)")
+        quality = pick_quality_for_bpp(target_bpp, image_path,
+                                       checkpoint_path, artifact, seed)
     model, params, tables = _prepare(arch, quality, checkpoint_path,
                                      artifact, seed)
     img = datasets.load_image(image_path)
@@ -96,9 +157,10 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
     nbytes = bitstream.write_bitstream(out_path, arch, quality, metric,
                                        (h, w), strings)
     bpp = nbytes * 8.0 / (h * w)
-    log.info("encoded %s -> %s: %d bytes, %.4f bpp, %.2fs", image_path,
-             out_path, nbytes, bpp, enc_s)
-    return {"bytes": nbytes, "bpp": bpp, "enc_s": enc_s}
+    log.info("encoded %s -> %s: %d bytes, %.4f bpp, %.2fs (q%d)",
+             image_path, out_path, nbytes, bpp, enc_s, quality)
+    return {"bytes": nbytes, "bpp": bpp, "enc_s": enc_s,
+            "quality": quality}
 
 
 def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
@@ -164,12 +226,16 @@ def main(argv=None):
                         "bounded memory)")
     p.add_argument("--batch_tiles", type=int, default=16,
                    help="tiles per coded batch group (memory bound)")
+    p.add_argument("--target_bpp", type=float, default=0.0,
+                   help="rate control (TinyLIC): pick the highest "
+                        "quality/lambda grid point whose estimated rate "
+                        "fits this bits-per-pixel budget")
     a = p.parse_args(argv)
     setup_logger(None)
     if a.mode == "encode":
         out = encode(a.input, a.output, a.arch or "TinyLIC", a.quality,
                      a.checkpoint, a.artifact, tile=a.tile,
-                     batch_tiles=a.batch_tiles)
+                     batch_tiles=a.batch_tiles, target_bpp=a.target_bpp)
     else:
         out = decode(a.input, a.output, a.arch, a.quality, a.checkpoint,
                      a.artifact)

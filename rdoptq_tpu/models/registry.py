@@ -39,7 +39,12 @@ def build_model(arch: str, quality: int = 6, lam: Optional[float] = None):
     if arch == "Lu2022":
         return lu2022(quality)
     if arch == "TinyLIC":
-        return tinylic(lam=lam if lam is not None else 0.0483)
+        if lam is None:
+            # quality selects the rate-condition lambda (the model is
+            # variable-rate: one parameter set serves every quality)
+            from ..utils.config import LAMBDAS_MSE
+            lam = LAMBDAS_MSE[min(max(quality, 1), len(LAMBDAS_MSE)) - 1]
+        return tinylic(lam=lam)
     raise ValueError(f"unknown arch {arch!r} (have {ARCHS})")
 
 

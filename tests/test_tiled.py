@@ -185,3 +185,38 @@ def test_cli_tiled_roundtrip(tmp_path, monkeypatch):
     assert dec["size"] == (100, 150)
     rec = np.asarray(Image.open(rec_path))
     assert rec.shape == (100, 150, 3)
+
+
+def test_target_bpp_rate_control(tmp_path, monkeypatch):
+    """--target_bpp picks the highest quality whose estimated rate fits
+    (a generous target -> q6; an impossible target -> q1 + encode
+    still proceeds), and the chosen quality rides the header so decode
+    rebuilds the same lambda."""
+    import os
+
+    from PIL import Image
+    from rdoptq_tpu.cli import codec as ccli
+    from rdoptq_tpu.eval import datasets
+    from rdoptq_tpu.models import registry
+
+    monkeypatch.setattr(
+        registry, "build_model",
+        lambda arch, q, lam=None: T.TinyLIC(N=16, M=24, slices=(8, 16),
+                                            depths=(1, 1, 1, 1, 1, 1)))
+    src = sorted(os.listdir(datasets.DEFAULT_KODAK))[0]
+    img = Image.open(os.path.join(datasets.DEFAULT_KODAK, src)).crop(
+        (0, 0, 64, 64))
+    src_path = str(tmp_path / "in.png")
+    img.save(src_path)
+
+    assert ccli.pick_quality_for_bpp(1e9, src_path) == 6
+    assert ccli.pick_quality_for_bpp(1e-9, src_path) == 1
+
+    bs = str(tmp_path / "o.rdoq")
+    enc = ccli.encode(src_path, bs, arch="TinyLIC", target_bpp=1e9)
+    assert enc["quality"] == 6
+    dec = ccli.decode(bs, str(tmp_path / "r.png"))
+    assert dec["size"] == (64, 64)
+
+    with pytest.raises(ValueError):
+        ccli.encode(src_path, bs, arch="Minnen2018", target_bpp=1.0)
