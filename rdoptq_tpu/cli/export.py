@@ -41,6 +41,9 @@ def main(argv=None):
     ap.add_argument("--lam", type=float, default=None,
                     help="TinyLIC rate-condition lambda")
     ap.add_argument("--ckpt", default=None)
+    ap.add_argument("--artifact", default=None,
+                    help="calibrated PTQState (.npz) to apply before "
+                         "export (hard-rounded AdaRound weights)")
     ap.add_argument("--shapes", type=parse_shapes, required=True,
                     help="comma-separated NxHxWxC static input shapes")
     ap.add_argument("--int8", action="store_true",
@@ -53,7 +56,7 @@ def main(argv=None):
     logging.basicConfig(level=logging.INFO, format="%(message)s")
     bundle = deploy.export_model_bundle(
         args.out, args.arch, args.quality, args.shapes,
-        ckpt=args.ckpt, int8=args.int8,
+        ckpt=args.ckpt, artifact=args.artifact, int8=args.int8,
         platforms=tuple(p.strip() for p in args.platforms.split(",")),
         lam=args.lam, seed=args.seed)
     log.info("wrote %s: %d entries %s (int8=%s)", args.out,

@@ -180,24 +180,31 @@ def load_bundle(path: str) -> ServingBundle:
 def export_model_bundle(out: str, arch: str, quality: int,
                         shapes: Sequence[Tuple[int, int, int, int]],
                         *, ckpt: Optional[str] = None,
+                        artifact: Optional[str] = None,
                         int8: bool = False,
                         platforms: Sequence[str] = ("tpu", "cpu"),
                         lam: Optional[float] = None,
                         seed: int = 0) -> ServingBundle:
-    """One-call export: build arch, load params, (optionally) transform
-    to the true-int8 serving pytree, export every shape, save, reload.
+    """One-call export: build arch, load params, (optionally) apply a
+    calibrated PTQ artifact (hard-rounded AdaRound weights) and/or
+    transform to the true-int8 serving pytree, export every shape,
+    save, reload.
 
     Returns the reloaded bundle so callers can immediately validate the
     round trip (export → serialize → deserialize → call).
     """
     model = registry.build_model(arch, quality, lam=lam)
     params = registry.load_params(model, arch, ckpt, seed=seed)
+    if artifact:
+        from .utils.checkpoint import load_ptq_state
+        state = load_ptq_state(artifact)
+        params = state.quantized_params(params, untrained="nearest")
     if int8:
         from .quant import serve_int8
         params = serve_int8.int8_serving_params(params)
     entries = export_serving(model, params, shapes, platforms=platforms)
     meta = {"arch": arch, "quality": quality, "int8": bool(int8),
-            "lam": lam}
+            "lam": lam, "artifact": artifact or None}
     save_bundle(out, entries, params, meta)
     return load_bundle(out)
 

@@ -138,3 +138,34 @@ def test_cli_export(tiny, tmp_path):
     assert os.path.exists(path)
     out = bundle(_x((1, 64, 64, 3)))
     assert out["x_hat"].shape == (1, 64, 64, 3)
+
+
+def test_export_with_ptq_artifact(tiny, tmp_path, monkeypatch):
+    """A calibrated PTQState artifact applies (quantized weights) before
+    export; the bundle output matches the live quantized forward."""
+    from rdoptq_tpu.models import registry
+    from rdoptq_tpu.quant import rdo, wrap
+    from rdoptq_tpu.utils import checkpoint
+
+    model, params = tiny
+    monkeypatch.setattr(registry, "build_model",
+                        lambda arch, q, lam=None: model)
+    monkeypatch.setattr(registry, "load_params",
+                        lambda m, a, p, seed=0: params)
+
+    wcfg = wrap.WeightQuantConfig(n_bits=8, channel_wise=True)
+    state = rdo.init_ptq_state(params, wcfg)
+    art = os.path.join(tmp_path, "ptq.npz")
+    checkpoint.save_ptq_state(art, state)
+
+    path = os.path.join(tmp_path, "q.rdx")
+    bundle = deploy.export_model_bundle(
+        path, "Minnen2018", 1, [(1, 64, 64, 3)], artifact=art,
+        platforms=("cpu",))
+    assert bundle.meta["artifact"] == art
+
+    x = _x((1, 64, 64, 3))
+    params_q = state.quantized_params(params, untrained="nearest")
+    ref = deploy.serving_fn(model)(params_q, x)
+    out = bundle(x)
+    assert float(jnp.abs(out["x_hat"] - ref["x_hat"]).max()) < 1e-6
