@@ -45,9 +45,8 @@ def _prepare(arch: str, quality: int, checkpoint_path: str, artifact: str,
     model = registry.build_model(arch, quality)
     params = registry.load_params(model, arch, checkpoint_path, seed=seed)
     if artifact:
-        from ..utils.checkpoint import load_ptq_state
-        state = load_ptq_state(artifact)
-        params = state.quantized_params(params, untrained="nearest")
+        from ..utils.checkpoint import apply_ptq_artifact
+        params = apply_ptq_artifact(params, artifact)
     params = dict(params)
     params["eb"] = E.fit_quantiles(params["eb"])
     tables = codec.build_codec_tables(params["eb"])
@@ -58,25 +57,19 @@ import functools
 
 
 @functools.lru_cache(maxsize=16)
-def _bpp_fn(model):
+def _bits_fn(model):
     @jax.jit
     def run(params, x):
         out = model.forward(params, x)
-        num = x.shape[0] * x.shape[1] * x.shape[2]
         return sum(-jnp.sum(jnp.log2(l))
-                   for l in out["likelihoods"].values()) / num
+                   for l in out["likelihoods"].values())
     return run
-
-
-def _estimated_bpp(model, params, x) -> float:
-    """Likelihood-model rate estimate (one jitted forward, cached per
-    model so repeated rate-control probes reuse compiles)."""
-    return float(_bpp_fn(model)(params, x))
 
 
 def pick_quality_for_bpp(target_bpp: float, image_path: str,
                          checkpoint_path: str = "", artifact: str = "",
-                         seed: int = 1005) -> int:
+                         seed: int = 1005, tile: int = 0,
+                         batch_tiles: int = 16) -> int:
     """Rate control for the variable-rate TinyLIC: walk the trained
     quality/lambda grid from the top and return the highest quality
     whose ESTIMATED bpp fits the target (the likelihood estimate tracks
@@ -85,19 +78,38 @@ def pick_quality_for_bpp(target_bpp: float, image_path: str,
     constant by design (train.train_variable_rate), so rate control
     snaps to the trained grid instead of bisecting a continuum.
 
+    Params/quantiles load ONCE (the model is one parameter set for
+    every quality — only the lambda-conditioned graph differs per
+    probe). The estimate divides coded bits by the ORIGINAL pixel
+    count, matching the bpp the encoder reports. With ``tile`` > 0 the
+    probe runs on at most ``batch_tiles`` evenly-sampled real tiles —
+    bounded memory at any resolution, same as the tiled codec itself.
+
     Beyond-reference capability: the reference ships a variable-rate
     TinyLIC but no way to hit a bitrate."""
     from ..utils.config import LAMBDAS_MSE
 
     img = datasets.load_image(image_path)
     h, w = img.shape[1], img.shape[2]
-    ph = -(-h // 64) * 64 - h
-    pw = -(-w // 64) * 64 - w
-    x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+    if tile:
+        tiles = tiled.tile_image(np.asarray(img), tile)
+        n = tiles.shape[0]
+        sel = np.unique(np.linspace(0, n - 1,
+                                    min(batch_tiles, n)).astype(int))
+        x = jnp.asarray(tiles[sel])
+        # estimate over the sampled real tiles' own pixels
+        num_pixels = len(sel) * tile * tile
+    else:
+        ph = -(-h // 64) * 64 - h
+        pw = -(-w // 64) * 64 - w
+        x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
+        num_pixels = h * w  # match the encoder's reported bpp basis
+
+    model, params, _ = _prepare("TinyLIC", len(LAMBDAS_MSE),
+                                checkpoint_path, artifact, seed)
     for q in range(len(LAMBDAS_MSE), 0, -1):
-        model, params, _ = _prepare("TinyLIC", q, checkpoint_path,
-                                    artifact, seed)
-        bpp = _estimated_bpp(model, params, x)
+        m = model.with_lambda(LAMBDAS_MSE[q - 1])
+        bpp = float(_bits_fn(m)(params, x)) / num_pixels
         log.info("target_bpp probe: q%d -> %.4f bpp (target %.4f)", q,
                  bpp, target_bpp)
         if bpp <= target_bpp:
@@ -121,7 +133,9 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
                              "TinyLIC (fixed-rate archs select rate by "
                              "checkpoint)")
         quality = pick_quality_for_bpp(target_bpp, image_path,
-                                       checkpoint_path, artifact, seed)
+                                       checkpoint_path, artifact, seed,
+                                       tile=tile,
+                                       batch_tiles=batch_tiles)
     model, params, tables = _prepare(arch, quality, checkpoint_path,
                                      artifact, seed)
     img = datasets.load_image(image_path)

@@ -196,9 +196,8 @@ def export_model_bundle(out: str, arch: str, quality: int,
     model = registry.build_model(arch, quality, lam=lam)
     params = registry.load_params(model, arch, ckpt, seed=seed)
     if artifact:
-        from .utils.checkpoint import load_ptq_state
-        state = load_ptq_state(artifact)
-        params = state.quantized_params(params, untrained="nearest")
+        from .utils.checkpoint import apply_ptq_artifact
+        params = apply_ptq_artifact(params, artifact)
     if int8:
         from .quant import serve_int8
         params = serve_int8.int8_serving_params(params)

@@ -129,4 +129,13 @@ def load_ptq_state(path: str):
     return state
 
 
+def apply_ptq_artifact(params, path: str):
+    """Load a calibrated PTQState and return the deployable quantized
+    params (hard-rounded trained leaves, nearest for untrained) — the
+    one artifact-application policy shared by the codec CLI and the
+    deployment exporter."""
+    state = load_ptq_state(path)
+    return state.quantized_params(params, untrained="nearest")
+
+
 __all__ = ["save_pytree", "load_pytree", "save_ptq_state", "load_ptq_state"]

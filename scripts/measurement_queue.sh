@@ -26,6 +26,21 @@ commit_artifacts() {
   git diff --cached --quiet || git commit -q -m "$1" || true
 }
 
+# trained anchors are the expensive-to-regenerate provenance of every
+# artifact and ckpts/ is gitignored: force-add them (CLAUDE.md: only
+# git-committed content survives between build sessions)
+commit_ckpts() {
+  git add -f ckpts/*.npz 2>/dev/null
+  git diff --cached --quiet || \
+    git commit -q -m "ckpts: commit trained anchors ($1)" || true
+}
+
+# never exceed the session budget, whatever a stage's nominal timeout is
+clamp() {  # clamp <seconds> -> min(seconds, budget_s)
+  local cap; cap=$(budget_s)
+  (( $1 < cap )) && echo "$1" || echo "$cap"
+}
+
 port_open() { (echo > /dev/tcp/127.0.0.1/8082) 2>/dev/null; }
 device_ok() {
   timeout -s KILL 180 python - <<'EOF' >/dev/null 2>&1
@@ -45,8 +60,11 @@ done
 echo "$(date) TPU live; left=$(left_min)min"
 
 retry() {
-  local max="$1" n=1; shift
-  until timeout --signal=KILL "${ATTEMPT_TIMEOUT:-2400}" "$@"; do
+  local max="$1" n=1 t; shift
+  while :; do
+    t=$(clamp "${ATTEMPT_TIMEOUT:-2400}")
+    (( t < 60 )) && { echo "== budget exhausted: $*" >&2; return 1; }
+    timeout --signal=KILL "$t" "$@" && return 0
     (( n >= max )) && { echo "== FAILED after $n attempts: $*" >&2; return 1; }
     n=$((n + 1)); echo "== attempt $n/$max: $*" >&2; sleep 240
   done
@@ -56,7 +74,7 @@ retry() {
 if (( $(left_min) >= 18 )) && \
    grep -q '"INVALID"' artifacts/perf_analysis.json 2>/dev/null; then
   echo "$(date) == perf roofline"
-  timeout -s KILL 2400 python scripts/perf_analysis.py \
+  timeout -s KILL $(clamp 2400) python scripts/perf_analysis.py \
     > /tmp/perf_analysis_q.log 2>&1
   commit_artifacts "perf: roofline re-measured (synchronous-fetch protocol)"
 fi
@@ -66,7 +84,7 @@ if (( $(left_min) >= 25 )) && \
    ! grep -q codec_tinylic_2k_tiled artifacts/serving_bench.json 2>/dev/null
 then
   echo "$(date) == serving bench"
-  timeout -s KILL 3000 python scripts/bench_serving.py \
+  timeout -s KILL $(clamp 3000) python scripts/bench_serving.py \
     > /tmp/bench_serving_q.log 2>&1
   commit_artifacts "serving bench: tiled 2K + fused-GDN rows"
 fi
@@ -77,6 +95,7 @@ if (( $(left_min) >= 170 )) && [ ! -f artifacts/cheng2020_w8a8_rdo.json ]; then
   SWEEP_FLAGS="--batch_size 2" timeout -s KILL $(budget_s) \
     bash scripts/repro_results.sh Cheng2020 8000 3000 \
     >> /tmp/cheng_clean.log 2>&1
+  commit_ckpts "Cheng2020 clean pipeline"
   commit_artifacts "Cheng2020 clean-split re-measure"
 fi
 
@@ -85,6 +104,7 @@ if (( $(left_min) >= 110 )) && [ ! -f artifacts/minnen2018_w8a8_rdo.json ]; then
   echo "$(date) == Minnen2018 clean pipeline (left=$(left_min)min)"
   timeout -s KILL $(budget_s) bash scripts/repro_results.sh \
     Minnen2018 8000 3000 >> /tmp/minnen_clean.log 2>&1
+  commit_ckpts "Minnen2018 clean pipeline"
   commit_artifacts "Minnen2018 clean-split re-measure"
 fi
 
@@ -93,6 +113,7 @@ if (( $(left_min) >= 75 )) && [ ! -f artifacts/tinylic_light_ptq.json ]; then
   echo "$(date) == TinyLIC pipeline (left=$(left_min)min)"
   timeout -s KILL $(budget_s) bash scripts/repro_tinylic.sh 8000 \
     >> /tmp/tinylic_pipeline.log 2>&1
+  commit_ckpts "TinyLIC variable-rate anchor"
   commit_artifacts "TinyLIC variable-rate anchor + light-PTQ results"
 fi
 
@@ -138,6 +159,7 @@ then
   echo "$(date) == GMM pipeline (left=$(left_min)min)"
   timeout -s KILL $(budget_s) bash scripts/repro_gmm.sh 6000 2000 \
     >> /tmp/gmm_pipeline.log 2>&1
+  commit_ckpts "Cheng2020 GMM anchor"
   commit_artifacts "Cheng2020 GMM: trained anchor + W8A8 sweep"
 fi
 
@@ -150,6 +172,7 @@ then
       --arch Lu2022 --quality 6 --metric ms-ssim --lmbda 60.50 \
       --steps 8000 --data_dir "$TECNICK" \
       --out ckpts/lu2022msssim_q6.npz > /tmp/lu_msssim_train.log 2>&1
+    commit_ckpts "Lu2022 ms-ssim q6 anchor"
   fi
   retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 6 \
     --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \

@@ -122,8 +122,12 @@ def main():
            "peak_hbm_gbs": PEAK_HBM_GBS, "rows": rows,
            "platform": jax.devices()[0].platform}
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/perf_analysis.json", "w") as f:
+    # atomic: a KILL mid-dump must not leave a truncated artifact that
+    # reads as a completed (non-INVALID) measurement
+    tmp = "artifacts/perf_analysis.json.tmp"
+    with open(tmp, "w") as f:
         json.dump(out, f, indent=2)
+    os.replace(tmp, "artifacts/perf_analysis.json")
     print("wrote artifacts/perf_analysis.json")
 
 
