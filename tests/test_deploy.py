@@ -169,3 +169,26 @@ def test_export_with_ptq_artifact(tiny, tmp_path, monkeypatch):
     ref = deploy.serving_fn(model)(params_q, x)
     out = bundle(x)
     assert float(jnp.abs(out["x_hat"] - ref["x_hat"]).max()) < 1e-6
+
+
+def test_bundle_version_guard(tiny, tmp_path):
+    """A bundle from a NEWER format version must be rejected cleanly."""
+    import json
+    import zipfile
+
+    model, params = tiny
+    entries = deploy.export_serving(model, params, [(1, 64, 64, 3)],
+                                    platforms=("cpu",))
+    path = os.path.join(tmp_path, "v.rdx")
+    deploy.save_bundle(path, entries, params)
+
+    with zipfile.ZipFile(path) as z:
+        meta = json.loads(z.read("meta.json"))
+        members = {n: z.read(n) for n in z.namelist() if n != "meta.json"}
+    meta["version"] = deploy.BUNDLE_VERSION + 1
+    with zipfile.ZipFile(path, "w") as z:
+        z.writestr("meta.json", json.dumps(meta))
+        for n, b in members.items():
+            z.writestr(n, b)
+    with pytest.raises(ValueError, match="newer"):
+        deploy.load_bundle(path)
