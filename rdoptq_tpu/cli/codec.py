@@ -97,8 +97,14 @@ def pick_quality_for_bpp(target_bpp: float, image_path: str,
         sel = np.unique(np.linspace(0, n - 1,
                                     min(batch_tiles, n)).astype(int))
         x = jnp.asarray(tiles[sel])
-        # estimate over the sampled real tiles' own pixels
-        num_pixels = len(sel) * tile * tile
+        # estimate over the sampled tiles' REAL pixels: edge tiles are
+        # zero-padded, and the encoder reports bytes/(h*w) — counting
+        # pad pixels here would bias the probe low and overshoot the
+        # target. Tile order is row-major (tiled.tile_image).
+        _, tw_grid = tiled.tile_grid(h, w, tile)
+        num_pixels = sum(
+            min(tile, h - (i // tw_grid) * tile)
+            * min(tile, w - (i % tw_grid) * tile) for i in sel)
     else:
         ph = -(-h // 64) * 64 - h
         pw = -(-w // 64) * 64 - w

@@ -36,15 +36,22 @@ def pack_header(arch: str, quality: int, metric: str,
 
 
 def parse_header(buf: bytes) -> Dict:
-    magic, ver, arch, quality, metric, h, w, n = struct.unpack(
-        "<4sBBBBIIH", buf[:18])
+    magic, ver = struct.unpack("<4sB", buf[:5])
     if magic != MAGIC:
         raise ValueError("not an RDOQ bitstream")
-    if ver != VERSION:
+    if ver == 1:  # v1 layout: n_streams was u8 (header_len 17)
+        _, _, arch, quality, metric, h, w, n = struct.unpack(
+            "<4sBBBBIIB", buf[:17])
+        header_len = 17
+    elif ver == VERSION:
+        _, _, arch, quality, metric, h, w, n = struct.unpack(
+            "<4sBBBBIIH", buf[:18])
+        header_len = 18
+    else:
         raise ValueError(f"unsupported bitstream version {ver}")
     return {"arch": ARCH_IDS[arch], "quality": quality,
             "metric": METRICS[metric], "size": (h, w), "n_streams": n,
-            "header_len": 18}
+            "header_len": header_len}
 
 
 def write_bitstream(path: str, arch: str, quality: int, metric: str,

@@ -83,6 +83,7 @@ def build_factorized_tables(params: E.FactorizedParams,
         pmfs[r, :n] = lik[r, :n]
         tails[r] = lower[r, 0] + (1.0 - upper[r, n - 1])
     cdf, cdf_lengths = _quantize_rows(pmfs, pmf_lengths, tails, precision)
+    rans.prewarm_cdf_lut(cdf, cdf_lengths)
     return CdfTable(cdf, cdf_lengths, offsets.astype(np.int32))
 
 
@@ -110,6 +111,7 @@ def build_gaussian_tables(scale_table: np.ndarray, tail_mass: float = 1e-9,
         pmfs[r, :n] = up - low
         tails[r] = 2.0 * low[0]
     cdf, cdf_lengths = _quantize_rows(pmfs, pmf_lengths, tails, precision)
+    rans.prewarm_cdf_lut(cdf, cdf_lengths)
     return CdfTable(cdf, cdf_lengths, offsets.astype(np.int32))
 
 

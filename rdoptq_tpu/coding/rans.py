@@ -87,26 +87,30 @@ class _CdfLutCache:
     """Bucket-LUT handles for CDF tables (decode fast path). Keyed by the
     converted table's (data pointer, shape); entries hold a strong
     reference to the array so the pointer stays valid and unique. Tables
-    are built once per model (coding/cdf.py), so this hits every decode
-    after the first."""
+    are built once per model (coding/cdf.py) and prewarmed there via
+    :func:`prewarm_cdf_lut`, so every decode hits — the LUT build
+    (16 MB memset + scan) is paid at table-construction time. Eviction
+    is LRU one-at-a-time, never a full clear."""
 
     def __init__(self, capacity: int = 16):
+        import collections
         self._cap = capacity
-        self._entries = {}  # key -> (cdf_array, lengths_array, handle)
+        # key -> (cdf_array, lengths_array, handle), LRU order
+        self._entries = collections.OrderedDict()
 
     def get(self, cdf: np.ndarray, lengths: np.ndarray) -> int:
         key = (cdf.ctypes.data, cdf.shape, lengths.ctypes.data)
         ent = self._entries.get(key)
         if ent is not None and ent[0] is cdf and ent[1] is lengths:
+            self._entries.move_to_end(key)
             return ent[2]
         lib = _load()
         if ent is not None:  # stale entry at a reused address: free it
             lib.rdoptq_cdf_lut_free(ent[2])
             del self._entries[key]
-        if len(self._entries) >= self._cap:
-            for _, _, h in self._entries.values():
-                lib.rdoptq_cdf_lut_free(h)
-            self._entries.clear()
+        while len(self._entries) >= self._cap:
+            _, (_, _, h) = self._entries.popitem(last=False)
+            lib.rdoptq_cdf_lut_free(h)
         handle = lib.rdoptq_cdf_lut_new(
             cdf.ctypes.data, cdf.shape[1], lengths.ctypes.data,
             cdf.shape[0])
@@ -115,6 +119,16 @@ class _CdfLutCache:
 
 
 _lut_cache = _CdfLutCache()
+
+
+def prewarm_cdf_lut(cdf, cdf_lengths) -> None:
+    """Build (and cache) the decode LUT for a CDF table now, at table
+    construction, instead of lazily inside the first decode. Pass the
+    SAME canonical int32-contiguous arrays the decode calls will use —
+    the cache is keyed by array identity."""
+    cdf = _as_i32(cdf)
+    lengths = _as_i32(cdf_lengths).ravel()
+    _lut_cache.get(cdf, lengths)
 
 
 def _as_i32(a) -> np.ndarray:
@@ -240,4 +254,4 @@ class RansDecoderStream:
 
 
 __all__ = ["pmf_to_quantized_cdf", "encode_with_indexes",
-           "decode_with_indexes", "RansDecoderStream"]
+           "decode_with_indexes", "prewarm_cdf_lut", "RansDecoderStream"]

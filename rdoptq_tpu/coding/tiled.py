@@ -61,18 +61,33 @@ def untile_image(tiles: np.ndarray, th: int, tw: int, h: int,
 
 
 def _n_groups(n: int, batch_tiles: int) -> int:
-    return -(-n // batch_tiles)
+    return len(_group_sizes(n, batch_tiles))
+
+
+def _group_sizes(n: int, batch_tiles: int) -> List[int]:
+    """Coded-batch size per tile group. Full groups run at
+    ``batch_tiles``; the remainder runs at the smallest of (at most) 3
+    pre-sized buckets — batch_tiles, ceil(bt/2), ceil(bt/4) — that fits
+    it, so the dummy-tile overhead (zero tiles are fully entropy-coded,
+    then dropped by the decoder) is bounded by the bucket rounding
+    instead of up to batch_tiles-1 whole coded latents, while the
+    compile-bucket count stays <= 3 per (tile, batch_tiles) config
+    (fresh tile counts would otherwise each pay a multi-minute remote
+    compile)."""
+    buckets = sorted({batch_tiles, -(-batch_tiles // 2),
+                      -(-batch_tiles // 4)})
+    full, rem = divmod(n, batch_tiles)
+    sizes = [batch_tiles] * full
+    if rem:
+        sizes.append(next(b for b in buckets if b >= rem))
+    return sizes
 
 
 def _pad_tiles(tiles: np.ndarray, batch_tiles: int) -> np.ndarray:
-    """Pad the tile count to a multiple of ``batch_tiles`` with zero
-    tiles so EVERY coded group has the same batch shape — one compiled
-    program bucket per (tile, batch_tiles) config, regardless of image
-    size (a remainder-sized group would cost a fresh multi-minute remote
-    compile per distinct tile count). The dummy tiles cost a little
-    device compute and a few coded bytes; the decoder drops them."""
+    """Pad the tile count with zero tiles to the summed group-bucket
+    sizes (see :func:`_group_sizes`); the decoder drops the dummies."""
     n = tiles.shape[0]
-    total = _n_groups(n, batch_tiles) * batch_tiles
+    total = sum(_group_sizes(n, batch_tiles))
     if total == n:
         return tiles
     pad = np.zeros((total - n,) + tiles.shape[1:], tiles.dtype)
@@ -95,8 +110,10 @@ def tiled_compress(model, params, img: np.ndarray,
     strings: List[bytes] = []
     zy_shape = None
     tiles_p = _pad_tiles(tiles, batch_tiles)
-    for g in range(_n_groups(th * tw, batch_tiles)):
-        grp = jnp.asarray(tiles_p[g * batch_tiles:(g + 1) * batch_tiles])
+    lo = 0
+    for size in _group_sizes(th * tw, batch_tiles):
+        grp = jnp.asarray(tiles_p[lo:lo + size])
+        lo += size
         if arch == "TinyLIC":
             out = codec.tinylic_compress(model, params, grp, tables)
             zy_shape = out["shape"]
@@ -120,23 +137,24 @@ def tiled_decompress(model, params, strings: Sequence[bytes],
     h, w = size
     n = th * tw
     tiles = np.zeros((n, tile, tile, 3), np.float32)
-    groups = _n_groups(n, batch_tiles)
-    assert len(strings) == 2 * groups, (len(strings), groups)
-    for g in range(groups):
+    sizes = _group_sizes(n, batch_tiles)
+    assert len(strings) == 2 * len(sizes), (len(strings), len(sizes))
+    lo = 0
+    for g, gsize in enumerate(sizes):
         grp_strings = list(strings[2 * g:2 * g + 2])
-        # every group decodes at the full batch_tiles batch (dummy pad
+        # every group decodes at its encode-time bucket size (dummy pad
         # tiles included) — same program bucket as encode
         if arch == "TinyLIC":
             x_hat = codec.tinylic_decompress(
                 model, params, grp_strings, tuple(zy_shape[:2]), tables,
-                batch=batch_tiles)
+                batch=gsize)
         else:
             x_hat = ar.ar_decompress_batched(
                 model, params, grp_strings, tuple(zy_shape[:2]),
-                tuple(zy_shape[2:]), tables, batch=batch_tiles)
-        lo = g * batch_tiles
-        hi = min(lo + batch_tiles, n)
+                tuple(zy_shape[2:]), tables, batch=gsize)
+        hi = min(lo + gsize, n)
         tiles[lo:hi] = np.asarray(x_hat)[:hi - lo]
+        lo += gsize
     return untile_image(np.clip(tiles, 0.0, 1.0), th, tw, h, w)
 
 

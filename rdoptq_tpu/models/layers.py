@@ -201,6 +201,12 @@ def conv2d(p: Params, x: jax.Array, stride: int = 1,
         k = p["w_int8"].shape[0]
         pad = k // 2 if padding is None else padding
         xi, s_x = _quant_in_int8(p, x)
+        from ..ops import phase_conv
+        if (phase_conv.PHASE_CONV_DEFAULT and stride == 2
+                and groups == 1 and pad == k // 2):
+            # polyphase GEMM path: XLA's strided int8 conv lowering runs
+            # at ~1% MXU peak on v5e (ops/phase_conv.py rationale)
+            return phase_conv.phase_conv2d_int8(p, xi, s_x)
         acc = jax.lax.conv_general_dilated(
             xi, p["w_int8"], window_strides=(stride, stride),
             padding=((pad, pad), (pad, pad)),

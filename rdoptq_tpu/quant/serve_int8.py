@@ -89,11 +89,21 @@ def _node_paths(params, prefix: str = "") -> Dict[int, str]:
     return out
 
 
-def calibrate_act_scales(model, params, images) -> Dict[str, float]:
+def calibrate_act_scales(model, params, images, percentile: float = 100.0,
+                         headroom: float = 1.0) -> Dict[str, float]:
     """Per-node input abs-max over calibration images — the static
     counterpart of the reference's dynamic `ActQuantizer` (the
     'generator' single-forward calibration, quantize.py:95-113, made
     static so serving never pays the runtime reduction).
+
+    Serving inputs that exceed the calibrated range are hard-clipped at
+    ±127; ``percentile`` < 100 clips calibration outliers (trading rare
+    saturation for finer resolution on the bulk), ``headroom`` > 1
+    multiplies the final scale to absorb out-of-distribution inputs.
+    Each returned entry also lands in ``meta`` as
+    ``{path: (scale, coverage)}`` where coverage = fraction of observed
+    |x| values within the chosen range, so exporters can record how well
+    the calibration set covered each node.
 
     Runs the FP32 forward EAGERLY (no jit) with a layer probe; per-op
     dispatch cost is irrelevant for a handful of calibration images.
@@ -101,13 +111,17 @@ def calibrate_act_scales(model, params, images) -> Dict[str, float]:
     from ..models import layers as L
 
     paths = _node_paths(params)
-    amax: Dict[str, float] = {}
+    # per node: list of per-call |x| quantile curves (101 points) — a
+    # bounded summary (full tensors per node per image would blow host
+    # memory at transformer node counts)
+    grid = np.linspace(0.0, 1.0, 101)
+    obs: Dict[str, list] = {}
 
     def probe(node, x):
         path = paths.get(id(node))
         if path is not None:
-            v = float(jnp.max(jnp.abs(x)))
-            amax[path] = max(amax.get(path, 0.0), v)
+            a = np.abs(np.asarray(x, np.float32)).ravel()
+            obs.setdefault(path, []).append(np.quantile(a, grid))
 
     L._ACT_PROBE = probe
     try:
@@ -115,6 +129,20 @@ def calibrate_act_scales(model, params, images) -> Dict[str, float]:
             model.forward(params, jnp.asarray(img))
     finally:
         L._ACT_PROBE = None
+
+    amax: Dict[str, float] = {}
+    coverage: Dict[str, float] = {}
+    for path, curves in obs.items():
+        # max over calls of the per-call percentile: a conservative
+        # (>=) estimate of the pooled percentile
+        v = max(float(np.interp(percentile / 100.0, grid, q))
+                for q in curves) * headroom
+        amax[path] = v
+        # coverage = mean fraction of observed |x| within the final range
+        cov = [float(np.interp(v, q, grid)) if v < q[-1] else 1.0
+               for q in curves]
+        coverage[path] = round(float(np.mean(cov)), 6)
+    amax["__coverage__"] = coverage  # type: ignore[assignment]
     return amax
 
 

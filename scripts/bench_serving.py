@@ -94,6 +94,17 @@ def forward_bench(arch: str, quality: int, x) -> dict:
     res["int8_static_speedup_vs_fp32"] = (res["fp32_s"]
                                           / res["int8_static_s"])
 
+    # + polyphase-GEMM routing for the stride-2 int8 convs
+    from rdoptq_tpu.ops import phase_conv
+    phase_conv.PHASE_CONV_DEFAULT = True
+    try:
+        fwd_ph = make_scan_fwd(model, REPS)
+        res["int8_static_phase_s"] = timed(fwd_ph, p_int8s, x)
+        res["int8_static_phase_speedup_vs_fp32"] = (
+            res["fp32_s"] / res["int8_static_phase_s"])
+    finally:
+        phase_conv.PHASE_CONV_DEFAULT = False
+
     # fused Pallas GDN (single HBM pass: square + channel dot + rsqrt in
     # one VMEM residency) — only meaningful for the GDN models
     if arch in ("Minnen2018", "Cheng2020"):
@@ -157,6 +168,61 @@ def conv_microbench() -> dict:
     xi = jnp.clip(jnp.round(x * 4), -127, 127).astype(jnp.int8)
     wi = jnp.clip(jnp.round(w * 127), -127, 127).astype(jnp.int8)
     res["int8_s"] = scan_conv(xi, wi, jnp.int32)
+
+    # polyphase-GEMM int8 path (ops/phase_conv.py): 25 MXU matmuls
+    # instead of XLA's strided-window conv lowering (~1% peak)
+    from rdoptq_tpu.ops import phase_conv
+
+    def scan_phase(xv, wv):
+        h = xv.shape[1]
+
+        @jax.jit
+        def f(xx, ww):
+            xpad = jnp.concatenate([xx, xx[:, :REPS]], axis=1)
+
+            def body(c, t):
+                xs = jax.lax.dynamic_slice_in_dim(xpad, t, h, axis=1)
+                out = phase_conv.phase_conv2d(ww, xs,
+                                              acc_dtype=jnp.int32)
+                return c + out.astype(jnp.float32).mean(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+            return s
+        return timed(f, xv, wv)
+
+    res["int8_phase_s"] = scan_phase(xi, wi)
+    res["int8_phase_speedup_vs_int8"] = (res["int8_s"]
+                                         / res["int8_phase_s"])
+
+    # fused Pallas kernel: DMA'd halo slabs + 25 MXU dots + dequant in
+    # one VMEM residency (ops/pallas_phase_conv.py)
+    from rdoptq_tpu.ops import pallas_phase_conv
+
+    def scan_pallas(xv, wv):
+        h = xv.shape[1]
+        node = {"w_int8": wv,
+                "s_w": jnp.ones((wv.shape[-1],), jnp.float32)}
+
+        @jax.jit
+        def f(xx, ww):
+            node_j = dict(node, w_int8=ww)
+            xpad = jnp.concatenate([xx, xx[:, :REPS]], axis=1)
+
+            def body(c, t):
+                xs = jax.lax.dynamic_slice_in_dim(xpad, t, h, axis=1)
+                out = pallas_phase_conv.pallas_phase_conv2d_int8(
+                    node_j, xs, jnp.float32(1.0))
+                return c + out.mean(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+            return s
+        return timed(f, xv, wv)
+
+    try:
+        res["int8_pallas_s"] = scan_pallas(xi, wi)
+        res["int8_pallas_speedup_vs_int8"] = (res["int8_s"]
+                                              / res["int8_pallas_s"])
+    except Exception as e:  # keep the bench alive if Mosaic rejects it
+        res["int8_pallas_s"] = None
+        res["int8_pallas_note"] = str(e).splitlines()[0][:200]
     return res
 
 
@@ -210,13 +276,29 @@ def codec_bench(image_path: str) -> dict:
 import functools
 
 
+TINYLIC_CKPT = os.environ.get("TINYLIC_CKPT", "ckpts/tinylic_vr.npz")
+CODEC_PARAMS_SOURCE = "random-init"
+
+
 @functools.lru_cache(maxsize=1)
 def _tinylic_codec_setup():
     """Shared (cached) model/params/tables for the codec benches — the
     param init + quantile fit + CDF build is host work worth paying
-    once (keep the single host core free while TPU passes run)."""
+    once (keep the single host core free while TPU passes run).
+
+    Loads the trained variable-rate anchor when present (VERDICT r2
+    Weak #4: random-init codec rows are round-trip checks, not RD
+    points comparable to BASELINE.md)."""
+    global CODEC_PARAMS_SOURCE
     model = registry.build_model("TinyLIC", 6)
-    params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
+    if os.path.exists(TINYLIC_CKPT):
+        params = dict(jax.device_put(
+            registry.load_params(model, "TinyLIC", TINYLIC_CKPT)))
+        CODEC_PARAMS_SOURCE = TINYLIC_CKPT
+    else:
+        params = dict(jax.device_put(model.init(jax.random.PRNGKey(0))))
+        print(f"NOTE: {TINYLIC_CKPT} missing; codec rows use random "
+              "params (round-trip timing only, bpp/psnr not RD points)")
     params["eb"] = E.fit_quantiles(params["eb"])
     tables = codec.build_codec_tables(params["eb"])
     return model, params, tables
@@ -285,6 +367,7 @@ def main():
         print("== codec bench TinyLIC (kodim01)")
         results["codec_tinylic"] = codec_bench(kodim)
         print(json.dumps(results["codec_tinylic"], indent=2))
+    results["codec_params_source"] = CODEC_PARAMS_SOURCE
 
     # 2K image: the size class of the reference's headline codec timings
     # (single_test.ipynb cells 6/15: 0.323 s enc / 0.294 s dec FP32 on a

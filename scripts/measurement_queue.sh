@@ -79,14 +79,38 @@ if (( $(left_min) >= 18 )) && \
   commit_artifacts "perf: roofline re-measured (synchronous-fetch protocol)"
 fi
 
+# ---- TinyLIC variable-rate anchor FIRST (the serving/codec benches
+# below must run on trained weights — VERDICT r2 Weak #4: random-init
+# codec rows are round-trip checks, not RD points)
+if (( $(left_min) >= 45 )) && [ ! -f ckpts/tinylic_vr.npz ]; then
+  echo "$(date) == TinyLIC anchor (left=$(left_min)min)"
+  ATTEMPT_TIMEOUT=7200 retry 3 python -m rdoptq_tpu.cli.train \
+    --arch TinyLIC --lambdas 0.0067,0.0130,0.0250,0.0483 --steps 8000 \
+    --data_dir "$TECNICK" --out ckpts/tinylic_vr.npz \
+    > /tmp/tinylic_train_q.log 2>&1
+  commit_ckpts "TinyLIC variable-rate anchor"
+fi
+
 # ---- serving bench (single-sync codec + tiled 2K + fused-GDN rows)
 if (( $(left_min) >= 25 )) && \
-   ! grep -q codec_tinylic_2k_tiled artifacts/serving_bench.json 2>/dev/null
+   { ! grep -q codec_tinylic_2k_tiled artifacts/serving_bench.json \
+       2>/dev/null || \
+     ! grep -q '"codec_params_source": "ckpts' \
+       artifacts/serving_bench.json 2>/dev/null; }
 then
   echo "$(date) == serving bench"
   timeout -s KILL $(clamp 3000) python scripts/bench_serving.py \
     > /tmp/bench_serving_q.log 2>&1
-  commit_artifacts "serving bench: tiled 2K + fused-GDN rows"
+  commit_artifacts "serving bench: tiled 2K + fused-GDN rows (trained anchor)"
+fi
+
+# ---- codec wall-clock breakdown: device vs tunnel RTT vs host rANS
+# (VERDICT r2 Next #2: win the 2K codec race or prove the latency floor)
+if (( $(left_min) >= 15 )) && [ ! -f artifacts/codec_breakdown.json ]; then
+  echo "$(date) == codec breakdown"
+  timeout -s KILL $(clamp 1800) python scripts/codec_breakdown.py \
+    > /tmp/codec_breakdown_q.log 2>&1
+  commit_artifacts "codec: 2K enc/dec three-way time breakdown"
 fi
 
 # ---- Cheng2020 clean-split re-measure (train on Tecnick, calib CLIC)
@@ -180,6 +204,42 @@ then
     --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
     --out artifacts/lu2022_msssim_w8a8_rdo.json > /tmp/lu_msssim.log 2>&1
   commit_artifacts "Lu2022 ms-ssim q6: FP32 vs W8A8 rows"
+fi
+
+# ---- q4/q5 device-fault minimal repro (VERDICT r2 Next #8) — after the
+# big pipelines so a wedged device can't starve the critical path
+if (( $(left_min) >= 30 )) && [ ! -f artifacts/fault_repro.json ]; then
+  echo "$(date) == fault repro (left=$(left_min)min)"
+  timeout -s KILL $(clamp 5400) python scripts/fault_repro.py \
+    > /tmp/fault_repro_q.log 2>&1
+  commit_artifacts "fault repro: Cheng2020 N=192 g_s unit batch-4 bisect"
+fi
+
+# ---- quality-range extension toward the reference's q1-8 span
+# (VERDICT r2 Next #9): 2 extra Lu2022 anchors + extended nearest sweep
+if (( $(left_min) >= 90 )) && [ ! -f artifacts/lu2022_w8_nearest_q1q6.json ]
+then
+  for ql in "1 0.0018" "2 0.0035"; do
+    set -- $ql
+    if [ ! -f "ckpts/lu2022_q$1.npz" ]; then
+      echo "$(date) == Lu2022 q$1 anchor (left=$(left_min)min)"
+      ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
+        --arch Lu2022 --quality "$1" --lmbda "$2" --steps 8000 \
+        --data_dir "$TECNICK" --out "ckpts/lu2022_q$1.npz" \
+        > "/tmp/lu2022_q$1_train.log" 2>&1
+      commit_ckpts "Lu2022 q$1 anchor"
+    fi
+  done
+  if [ -f ckpts/lu2022_q1.npz ] && [ -f ckpts/lu2022_q2.npz ]; then
+    echo "$(date) == Lu2022 q1-q6 W8 nearest (left=$(left_min)min)"
+    retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 \
+      --qualities 1,2,3,4,5,6 \
+      --ckpt_pattern 'ckpts/lu2022_q{quality}.npz' \
+      --n_bits_w 8 --n_bits_a 8 --iters_w 0 \
+      --out artifacts/lu2022_w8_nearest_q1q6.json \
+      > /tmp/lu2022_q1q6.log 2>&1
+    commit_artifacts "Lu2022 q1-q6 W8 nearest (extended rate span)"
+  fi
 fi
 
 commit_artifacts "artifacts: end-of-queue snapshot"

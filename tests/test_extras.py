@@ -80,6 +80,38 @@ def test_bitstream_file_roundtrip(tmp_path):
     assert back["strings"] == strings
 
 
+def test_bitstream_v1_header_still_parses():
+    """Backward compat: v1 files (n_streams u8, header_len 17) written
+    before the v2 bump must stay decodable (ADVICE.md round 2)."""
+    import struct
+    v1 = struct.pack("<4sBBBBIIB", b"RDOQ", 1,
+                     bitstream.ARCH_IDS.index("Lu2022"), 5, 0,
+                     256, 384, 2)
+    head = bitstream.parse_header(v1)
+    assert head["arch"] == "Lu2022" and head["quality"] == 5
+    assert head["size"] == (256, 384)
+    assert head["n_streams"] == 2 and head["header_len"] == 17
+
+
+def test_tiled_group_sizes_buckets():
+    """Remainder groups code at the smallest of <=3 pre-sized buckets
+    (ADVICE.md round 2: a 1-real + 15-dummy group coded 15 whole
+    latents); compile-bucket count stays bounded."""
+    from rdoptq_tpu.coding import tiled
+    assert tiled._group_sizes(32, 16) == [16, 16]
+    assert tiled._group_sizes(33, 16) == [16, 16, 4]   # rem 1 -> bucket 4
+    assert tiled._group_sizes(38, 16) == [16, 16, 8]   # rem 6 -> bucket 8
+    assert tiled._group_sizes(45, 16) == [16, 16, 16]  # rem 13 -> full
+    assert tiled._group_sizes(3, 16) == [4]
+    # distinct bucket sizes ever used for one batch_tiles config: <= 3
+    used = {s for n in range(1, 200) for s in tiled._group_sizes(n, 16)}
+    assert used <= {4, 8, 16}
+    # padding matches the summed group sizes
+    import numpy as np2
+    t = np2.zeros((33, 8, 8, 3), np2.float32)
+    assert tiled._pad_tiles(t, 16).shape[0] == 36
+
+
 def test_int8_serving_path_numerics():
     from rdoptq_tpu.models import layers as L
     from rdoptq_tpu.quant import serve_int8
@@ -133,6 +165,18 @@ def test_int8_serving_static_act_scales():
     assert "g_a/conv0" in scales and scales["g_a/conv0"] > 0
     # first conv's input is the image itself -> abs-max is x's
     assert abs(scales["g_a/conv0"] - float(jnp.abs(x).max())) < 1e-6
+    # per-node calibration coverage is recorded (ADVICE.md round 2)
+    cov = scales["__coverage__"]
+    assert 0.99 <= cov["g_a/conv0"] <= 1.0
+    # percentile clipping yields a strictly smaller scale, full headroom
+    # multiplies it back up
+    s99 = serve_int8.calibrate_act_scales(model, params, [x],
+                                          percentile=99.0)
+    assert s99["g_a/conv0"] < scales["g_a/conv0"]
+    assert s99["__coverage__"]["g_a/conv0"] < 1.0
+    s_hr = serve_int8.calibrate_act_scales(model, params, [x],
+                                           percentile=99.0, headroom=1.5)
+    assert abs(s_hr["g_a/conv0"] - 1.5 * s99["g_a/conv0"]) < 1e-6
     p8s = serve_int8.int8_serving_params(params, act_scales=scales)
     assert float(get_leaf(p8s, "g_a/conv0/s_x")) > 0
     out_s = model.forward(p8s, x)

@@ -83,3 +83,75 @@ def test_gdn_pallas_grads_match_reference():
     g2 = jax.grad(f_ref, argnums=(0, 1, 2))(x, gamma, beta)
     for a, b in zip(g1, g2):
         assert np.allclose(np.asarray(a), np.asarray(b), atol=1e-5)
+
+
+def test_phase_conv_matches_lax_conv_int8():
+    """Polyphase-GEMM stride-2 conv (ops/phase_conv.py) is bit-exact
+    against XLA's conv lowering in int8/int32, including odd input
+    sizes (asymmetric round-up padding of the phase planes)."""
+    from rdoptq_tpu.ops import phase_conv
+
+    rng = np.random.default_rng(0)
+    for (h, w, cin, cout, k) in [(64, 48, 16, 24, 5), (37, 29, 8, 8, 3),
+                                 (10, 11, 4, 6, 5)]:
+        x = jnp.asarray(rng.integers(-127, 128, (2, h, w, cin))
+                        .astype(np.int8))
+        ww = jnp.asarray(rng.integers(-127, 128, (k, k, cin, cout))
+                         .astype(np.int8))
+        ref = jax.lax.conv_general_dilated(
+            x, ww, (2, 2), ((k // 2, k // 2), (k // 2, k // 2)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        got = phase_conv.phase_conv2d(ww, x, acc_dtype=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+
+def test_phase_conv_int8_node_path():
+    """layers.conv2d with an int8-kernel node routes through the phase
+    path when PHASE_CONV_DEFAULT is on and matches the XLA int8 path."""
+    from rdoptq_tpu.models import layers as L
+    from rdoptq_tpu.ops import phase_conv
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.normal(size=(5, 5, 8, 16)).astype(np.float32) * .1)
+    b = jnp.asarray(rng.normal(size=(16,)).astype(np.float32) * .01)
+    x = jnp.asarray(rng.normal(size=(1, 32, 24, 8)).astype(np.float32))
+    s_w = jnp.max(jnp.abs(w), axis=(0, 1, 2)) / 127.0
+    node = {"w_int8": jnp.clip(jnp.round(w / s_w), -127, 127)
+            .astype(jnp.int8), "s_w": s_w, "b": b}
+    ref = L.conv2d(node, x, stride=2)
+    old = phase_conv.PHASE_CONV_DEFAULT
+    phase_conv.PHASE_CONV_DEFAULT = True
+    try:
+        got = L.conv2d(node, x, stride=2)
+    finally:
+        phase_conv.PHASE_CONV_DEFAULT = old
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-5)
+
+
+def test_pallas_phase_conv_matches_reference():
+    """Fused Pallas int8 phase-conv kernel (interpret mode) matches the
+    XLA phase path, including non-multiple tile counts and bias."""
+    from rdoptq_tpu.ops import pallas_phase_conv, phase_conv
+
+    rng = np.random.default_rng(2)
+    for (h, w, cin, cout, k, toh) in [(64, 48, 16, 24, 5, 8),
+                                      (33, 31, 8, 8, 5, 8),
+                                      (32, 32, 8, 16, 3, 16)]:
+        x = jnp.asarray(rng.normal(size=(2, h, w, cin))
+                        .astype(np.float32))
+        ww = jnp.asarray(rng.normal(size=(k, k, cin, cout))
+                         .astype(np.float32) * 0.1)
+        s_w = jnp.max(jnp.abs(ww), axis=(0, 1, 2)) / 127.0
+        node = {"w_int8": jnp.clip(jnp.round(ww / s_w), -127, 127)
+                .astype(jnp.int8), "s_w": s_w,
+                "b": jnp.asarray(rng.normal(size=(cout,))
+                                 .astype(np.float32) * 0.01)}
+        s_x = float(jnp.abs(x).max()) / 127.0
+        xi = jnp.clip(jnp.round(x / s_x), -127, 127).astype(jnp.int8)
+        ref = phase_conv.phase_conv2d_int8(node, xi, s_x)
+        got = pallas_phase_conv.pallas_phase_conv2d_int8(
+            node, xi, s_x, tile_oh=toh, interpret=True)
+        np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                                   rtol=0, atol=1e-5)

@@ -80,9 +80,9 @@ def test_tiled_roundtrip_matches_forward(tiny_codec):
                                  tables, "TinyLIC", batch_tiles=4)
     assert rec.shape == (1, 100, 150, 3)
 
-    # every group codes at the FULL batch_tiles batch (the remainder is
-    # zero-padded so one compiled bucket serves all image sizes); the
-    # codec's reference output is the same-batch fake-quant forward
+    # groups code at fixed bucket sizes (full batch_tiles, remainder at
+    # the smallest of <=3 pre-sized buckets that fits — tiled._group_sizes);
+    # the codec's reference output is the per-tile fake-quant forward
     tiles = tiled._pad_tiles(tiled.tile_image(img, 64), 4)
     fwd = [np.asarray(model.forward(params, jnp.asarray(tiles[lo:lo + 4])
                                     )["x_hat"])
