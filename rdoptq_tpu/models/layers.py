@@ -247,6 +247,11 @@ def conv_transpose2d(p: Params, x: jax.Array, stride: int = 2) -> jax.Array:
         pad_lo = k - 1 - k // 2
         pad_hi = pad_lo + stride - 1
         xi, s_x = _quant_in_int8(p, x)
+        from ..ops import phase_conv
+        if phase_conv.PHASE_CONV_DEFAULT and stride == 2:
+            # 4 dense stride-1 phase convs instead of the zero-stuffed
+            # input-dilated lowering (half the MACs hit structural zeros)
+            return phase_conv.phase_tconv2d_int8(p, xi, s_x)
         acc = jax.lax.conv_general_dilated(
             xi, p["w_int8"], window_strides=(1, 1),
             padding=((pad_lo, pad_hi), (pad_lo, pad_hi)),

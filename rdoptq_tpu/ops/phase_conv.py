@@ -100,8 +100,70 @@ def phase_conv2d_int8(p, x: jax.Array, s_x, stride: int = 2) -> jax.Array:
     return out
 
 
+def _tconv_phase_plan(k: int):
+    """Per output phase a: (tap kernel rows, conv pad (lo, hi)).
+
+    The stride-2 input-dilated tconv (models/layers.conv_transpose2d
+    semantics: pad_lo = k-1-k//2, output_padding = 1) decomposes into 4
+    STRIDE-1 convs, one per output phase (a, b) in {0,1}^2 — each sees
+    only the kernel taps whose dilated-input index lands on a real
+    sample: out[2r+a] = sum_kh x[r + (a+kh-P)//2] w[kh] over kh with
+    (a + kh - P) even. Offsets are consecutive, so the taps form a
+    dense sub-kernel with asymmetric padding."""
+    P = k - 1 - k // 2
+    plans = []
+    for a in range(2):
+        khs = [kh for kh in range(k) if (a + kh - P) % 2 == 0]
+        offs = [(a + kh - P) // 2 for kh in khs]
+        lo = -offs[0]
+        hi = len(khs) - 1 - lo
+        plans.append((khs, (lo, hi)))
+    return plans
+
+
+def phase_tconv2d(w, x: jax.Array, *, stride: int = 2,
+                  acc_dtype=jnp.float32) -> jax.Array:
+    """Stride-2 transposed conv as 4 stride-1 phase convs + interleave.
+
+    The input-dilated lowering convolves a 2x-zero-stuffed input — half
+    the MACs multiply structural zeros, and XLA's int8 conv lowering is
+    slow to begin with (see module docstring). Each phase conv here is
+    a dense stride-1 conv XLA maps cleanly onto the MXU. Matches
+    models/layers.conv_transpose2d bit-exactly in int8/int32."""
+    if stride != 2:
+        raise NotImplementedError("phase decomposition written for s=2")
+    k = w.shape[0]
+    n, r, c, cin = x.shape
+    plans = _tconv_phase_plan(k)
+    rows = []
+    for a, (khs, pad_h) in enumerate(plans):
+        cols = []
+        for b, (kws, pad_w) in enumerate(plans):
+            sub = w[jnp.asarray(khs)][:, jnp.asarray(kws)]
+            cols.append(jax.lax.conv_general_dilated(
+                x, sub, (1, 1), (pad_h, pad_w),
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                preferred_element_type=acc_dtype))
+        rows.append(cols)
+    # out[2r+a, 2c+b] = rows[a][b][r, c]
+    st = jnp.stack([jnp.stack(cs) for cs in rows])  # (2a, 2b, N, R, C, Co)
+    out = st.transpose(2, 3, 0, 4, 1, 5)
+    return out.reshape(n, 2 * r, 2 * c, st.shape[-1])
+
+
+def phase_tconv2d_int8(p, x: jax.Array, s_x, stride: int = 2) -> jax.Array:
+    """Int8 phase tconv with fused per-output-channel dequant + bias."""
+    acc = phase_tconv2d(p["w_int8"], x, stride=stride,
+                        acc_dtype=jnp.int32)
+    out = acc.astype(jnp.float32) * (p["s_w"] * s_x)
+    if "b" in p:
+        out = out + p["b"]
+    return out
+
+
 # models/layers.conv2d consults this default (env-settable) so serving
 # and benchmarks can flip the phase path on without touching call sites
 PHASE_CONV_DEFAULT = os.environ.get("RDOPTQ_PHASE_CONV", "0") == "1"
 
-__all__ = ["phase_conv2d", "phase_conv2d_int8", "PHASE_CONV_DEFAULT"]
+__all__ = ["phase_conv2d", "phase_conv2d_int8", "phase_tconv2d",
+           "phase_tconv2d_int8", "PHASE_CONV_DEFAULT"]

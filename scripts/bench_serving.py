@@ -223,6 +223,37 @@ def conv_microbench() -> dict:
     except Exception as e:  # keep the bench alive if Mosaic rejects it
         res["int8_pallas_s"] = None
         res["int8_pallas_note"] = str(e).splitlines()[0][:200]
+
+    # transposed conv (decoder half): input-dilated int8 lowering vs 4
+    # dense stride-1 phase convs (same MAC count, no structural zeros)
+    xt = xi[:, :192, :128, :]
+
+    def scan_tconv(fn):
+        h = xt.shape[1]
+
+        @jax.jit
+        def f(xx, ww):
+            xpad = jnp.concatenate([xx, xx[:, :REPS]], axis=1)
+
+            def body(c, t):
+                xs = jax.lax.dynamic_slice_in_dim(xpad, t, h, axis=1)
+                return c + fn(xs, ww).astype(jnp.float32).mean(), None
+            s, _ = jax.lax.scan(body, jnp.float32(0), jnp.arange(REPS))
+            return s
+        return timed(f, xt, wi)
+
+    def dilated(xs, ww):
+        return jax.lax.conv_general_dilated(
+            xs, ww, (1, 1), ((2, 3), (2, 3)), lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+
+    from rdoptq_tpu.ops import phase_conv as pc
+    res["tconv_int8_s"] = scan_tconv(dilated)
+    res["tconv_int8_phase_s"] = scan_tconv(
+        lambda xs, ww: pc.phase_tconv2d(ww, xs, acc_dtype=jnp.int32))
+    res["tconv_phase_speedup"] = (res["tconv_int8_s"]
+                                  / res["tconv_int8_phase_s"])
     return res
 
 

@@ -155,3 +155,44 @@ def test_pallas_phase_conv_matches_reference():
             node, xi, s_x, tile_oh=toh, interpret=True)
         np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
                                    rtol=0, atol=1e-5)
+
+
+def test_phase_tconv_matches_dilated_conv_int8():
+    """Polyphase stride-2 transposed conv (4 dense stride-1 convs +
+    interleave) is bit-exact against the input-dilated int8 lowering,
+    and routes through layers.conv_transpose2d under the flag."""
+    from rdoptq_tpu.models import layers as L
+    from rdoptq_tpu.ops import phase_conv
+
+    rng = np.random.default_rng(3)
+    for (r, c, cin, cout, k) in [(16, 12, 8, 16, 5), (9, 11, 4, 6, 5),
+                                 (8, 8, 8, 8, 3)]:
+        x = jnp.asarray(rng.integers(-127, 128, (2, r, c, cin))
+                        .astype(np.int8))
+        w = jnp.asarray(rng.integers(-127, 128, (k, k, cin, cout))
+                        .astype(np.int8))
+        pad_lo = k - 1 - k // 2
+        ref = jax.lax.conv_general_dilated(
+            x, w, (1, 1), ((pad_lo, pad_lo + 1), (pad_lo, pad_lo + 1)),
+            lhs_dilation=(2, 2),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.int32)
+        got = phase_conv.phase_tconv2d(w, x, acc_dtype=jnp.int32)
+        np.testing.assert_array_equal(np.asarray(ref), np.asarray(got))
+
+    # node-path routing equivalence (float in/out)
+    wf = jnp.asarray(rng.normal(size=(5, 5, 8, 16)).astype(np.float32)
+                     * 0.1)
+    s_w = jnp.max(jnp.abs(wf), axis=(0, 1, 2)) / 127.0
+    node = {"w_int8": jnp.clip(jnp.round(wf / s_w), -127, 127)
+            .astype(jnp.int8), "s_w": s_w}
+    xf = jnp.asarray(rng.normal(size=(1, 12, 10, 8)).astype(np.float32))
+    ref = L.conv_transpose2d(node, xf, stride=2)
+    old = phase_conv.PHASE_CONV_DEFAULT
+    phase_conv.PHASE_CONV_DEFAULT = True
+    try:
+        got = L.conv_transpose2d(node, xf, stride=2)
+    finally:
+        phase_conv.PHASE_CONV_DEFAULT = old
+    np.testing.assert_allclose(np.asarray(ref), np.asarray(got),
+                               rtol=0, atol=1e-5)
