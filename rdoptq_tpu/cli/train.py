@@ -47,6 +47,14 @@ def main(argv=None):
     p.add_argument("--out", required=True, help="output checkpoint (.npz)")
     args = p.parse_args(argv)
 
+    # Lu2022's 16x-downsampled latent must tile into 8x8 attention
+    # windows: patch sizes like 192 (latent 12) fail deep inside the
+    # first traced step with a reshape error — fail fast instead
+    unit = 128 if args.arch == "Lu2022" else 64
+    if args.patch_size % unit:
+        p.error(f"--patch_size must be a multiple of {unit} for "
+                f"{args.arch} (got {args.patch_size})")
+
     setup_logger(os.path.dirname(args.out) or ".")
     model = registry.build_model(args.arch, args.quality, lam=args.lmbda)
     params = registry.load_params(model, args.arch, args.init_from,
