@@ -1,0 +1,369 @@
+"""Single-dispatch TinyLIC codec: entropy decode runs ON DEVICE.
+
+`codec.tinylic_decompress` pays 4 host fetches per slice plus per-pass
+dispatch latency — the measured decode wall-clock floor over a remote
+device link (artifacts/codec_breakdown.json). Here the WHOLE decompress
+— z decode, hyper synthesis, 5x2 checkerboard passes with in-program
+wide-rANS (coding/wide_rans.py), and g_s — compiles into one jitted
+program: one dispatch, one fetch.
+
+Bit-agreement by construction: the reference keeps conditional
+bitstreams decodable by running the SAME compiled pass programs on both
+sides (coding/codec._codec_fns). This module strengthens that to a
+single DUAL-MODE executable: a traced ``is_encode`` flag switches each
+section between "symbols = round(y_true - means)" (encode) and
+"symbols = wide-rANS decode" (decode); every entropy-parameter op is
+the same code in the same executable, so scales/means/indexes match
+bitwise between the two sides no matter how XLA fuses them. The stream
+buffer is padded to a shape-derived bucket (one halfword per symbol is
+the format's hard maximum) so both modes share one compilation.
+
+Blob layout (little endian), parsed by :func:`unpack_blob`:
+    u32 stream_len (u16 units) | u16 lanes | u16 exc capacity K
+    lanes x u32 final rANS states
+    per section (1 + 2*slices): u16 count + count x (u32 pos, i32 val)
+    stream_len x u16 stream
+
+Role parity: single-image/tile-batch compress/decompress of the
+reference's TinyLIC (tinylic.py:236-366) with the host entropy loop
+eliminated; the host codec (coding/codec.py) remains the default path
+and the cross-implementation interop format.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import struct
+from typing import Dict, List, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.tinylic import checkerboard_anchor_mask
+from ..ops import entropy as E
+from . import cdf as cdf_mod
+from . import codec as host_codec
+from . import wide_rans as W
+
+EXC_K = 64  # minimum per-section exception capacity
+
+
+def exc_capacity(total_syms: int) -> int:
+    """Shape-derived per-section exception capacity: scales with the
+    coded symbol count (so large/batched inputs don't overflow the
+    fixed list) while staying a pure function of the (shape, batch)
+    bucket — encode and decode therefore still share ONE executable,
+    which is what guarantees bitwise-matching entropy parameters.
+
+    total/16 is generous (trained models see ~1e-9 exception rates;
+    even random-init latents stay under it) yet costs only
+    n_sections*k*8 bytes of inert scatter input. Clamped to the blob
+    format's u16 per-section count."""
+    return int(min(65535, max(EXC_K, -(-total_syms // 16 // 64) * 64)))
+
+
+@dataclasses.dataclass
+class WideCodecTables:
+    """Precision-12 decode tables for one model (device-decode analogue
+    of codec.CodecTables)."""
+
+    factorized: W.WideTables
+    gaussian: W.WideTables
+    medians: np.ndarray
+
+    def device(self) -> Dict[str, jax.Array]:
+        f = W.device_arrays(self.factorized)
+        g = W.device_arrays(self.gaussian)
+        return {"f_sym": f["lut_sym"], "f_fs": f["lut_fs"],
+                "f_off": f["offsets"], "g_sym": g["lut_sym"],
+                "g_fs": g["lut_fs"], "g_off": g["offsets"],
+                "medians": jnp.asarray(self.medians, jnp.float32)}
+
+
+def build_wide_codec_tables(eb_params: E.FactorizedParams,
+                            fit_quantiles: bool = False) -> WideCodecTables:
+    if fit_quantiles:
+        eb_params = E.fit_quantiles(eb_params)
+    table = np.asarray(E.default_scale_table())
+    return WideCodecTables(
+        factorized=W.build_wide_tables(
+            cdf_mod.build_factorized_tables(eb_params, precision=W.P)),
+        gaussian=W.build_wide_tables(
+            cdf_mod.build_gaussian_tables(table, precision=W.P)),
+        medians=np.asarray(E.factorized_medians(eb_params)))
+
+
+# ---------------------------------------------------------------------------
+# Checkerboard gather/scatter with STATIC strided slices (boolean-mask
+# indexing would be a dynamic shape under jit). Anchors are (i+j) odd
+# (models/tinylic.checkerboard_anchor_mask): even rows keep odd columns,
+# odd rows keep even columns — row-major order matches the host codec's
+# ``arr[anchor_mask]`` flattening exactly.
+# ---------------------------------------------------------------------------
+
+
+def gather_cb(y: jax.Array, anchor: bool) -> jax.Array:
+    """(B, H, W, C) -> (B, H, W/2, C) checkerboard positions, row-major."""
+    b, h, w, c = y.shape
+    if anchor:
+        ev, od = y[:, 0::2, 1::2], y[:, 1::2, 0::2]
+    else:
+        ev, od = y[:, 0::2, 0::2], y[:, 1::2, 1::2]
+    return jnp.stack([ev, od], axis=2).reshape(b, h, w // 2, c)
+
+
+def scatter_cb(vals: jax.Array, base: jax.Array, anchor: bool) -> jax.Array:
+    """Inverse of :func:`gather_cb` into ``base`` (other positions kept)."""
+    b, h, w, c = base.shape
+    v = vals.reshape(b, h // 2, 2, w // 2, c)
+    if anchor:
+        base = base.at[:, 0::2, 1::2].set(v[:, :, 0])
+        base = base.at[:, 1::2, 0::2].set(v[:, :, 1])
+    else:
+        base = base.at[:, 0::2, 0::2].set(v[:, :, 0])
+        base = base.at[:, 1::2, 1::2].set(v[:, :, 1])
+    return base
+
+
+# ---------------------------------------------------------------------------
+# The dual-mode program
+# ---------------------------------------------------------------------------
+
+
+@functools.lru_cache(maxsize=8)
+def _wide_program(model, zh: int, zw: int, batch: int):
+    """One jitted executable serving BOTH encode (derive symbols from
+    true latents) and decode (wide-rANS the stream). All shared math —
+    h_s, slice_cc/sc/ep, build_indexes, means adds — executes
+    identically in either mode."""
+    table = E.default_scale_table()
+    h, w = zh * 4, zw * 4
+    n_z = batch * zh * zw  # per-channel spatial positions
+
+    def section(dev, kind, stream, states, ptr, idx, enc_vals, exc, e,
+                is_encode):
+        """One coded section: -> (values i32, states, ptr). ``idx`` and
+        ``enc_vals`` share the section's layout."""
+        sym_t, fs_t, off_t = (dev[f"{kind}_sym"], dev[f"{kind}_fs"],
+                              dev[f"{kind}_off"])
+
+        def dec(_):
+            vals, st, p = W.decode_wide(
+                stream, ptr, states, idx,
+                {"lut_sym": sym_t, "lut_fs": fs_t, "offsets": off_t})
+            vals = W.apply_exceptions(vals, exc[0][e], exc[1][e],
+                                      exc[2][e])
+            return vals, st, p
+
+        def enc(_):
+            return enc_vals, states, ptr
+
+        return jax.lax.cond(is_encode, enc, dec, None)
+
+    def run(params, dev, stream, states0, exc_pos, exc_val, exc_n,
+            z_sym_in, y_true, is_encode):
+        exc = (exc_pos, exc_val, exc_n)
+        c_z = dev["medians"].shape[0]
+        z_idx = jnp.broadcast_to(jnp.arange(c_z, dtype=jnp.int32),
+                                 (n_z, c_z)).reshape(-1)
+        states, ptr = states0, jnp.int32(0)
+
+        z_vals, states, ptr = section(
+            dev, "f", stream, states, ptr, z_idx,
+            z_sym_in.reshape(-1), exc, 0, is_encode)
+        z_hat = (z_vals.reshape(batch, zh, zw, c_z).astype(jnp.float32)
+                 + dev["medians"].reshape(1, 1, 1, c_z))
+        hyper = model.h_s.run(params, z_hat)
+
+        splits = [sum(model.slices[:i + 1])
+                  for i in range(len(model.slices) - 1)]
+        y_slices = jnp.split(y_true, splits, axis=-1)
+        anchor = checkerboard_anchor_mask(h, w)
+
+        syms: List[jax.Array] = []
+        idxs: List[jax.Array] = []
+        y_hat_slices = []
+        for i, out_ch in enumerate(model.slices):
+            support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
+            cc_params = model.slice_cc(params, support, i)
+            scales1, means1 = model.slice_ep(
+                params, hyper, jnp.zeros_like(cc_params), cc_params, i)
+            idx1 = E.build_indexes(table, scales1).astype(jnp.int32)
+            idx1_g = gather_cb(idx1, True)
+            m1_g = gather_cb(means1, True)
+            true1 = jnp.round(gather_cb(y_slices[i], True) - m1_g
+                              ).astype(jnp.int32)
+            v1, states, ptr = section(dev, "g", stream, states, ptr,
+                                      idx1_g, true1, exc, 1 + 2 * i,
+                                      is_encode)
+            y_anchor = scatter_cb(v1.astype(jnp.float32) + m1_g,
+                                  jnp.zeros((batch, h, w, out_ch)), True)
+
+            sc_params = model.slice_sc(params, y_anchor * anchor, i)
+            sc_params = sc_params * (1.0 - anchor)
+            scales2, means2 = model.slice_ep(params, hyper, sc_params,
+                                             cc_params, i)
+            idx2 = E.build_indexes(table, scales2).astype(jnp.int32)
+            idx2_g = gather_cb(idx2, False)
+            m2_g = gather_cb(means2, False)
+            true2 = jnp.round(gather_cb(y_slices[i], False) - m2_g
+                              ).astype(jnp.int32)
+            v2, states, ptr = section(dev, "g", stream, states, ptr,
+                                      idx2_g, true2, exc, 2 + 2 * i,
+                                      is_encode)
+            y_full = scatter_cb(v2.astype(jnp.float32) + m2_g,
+                                y_anchor, False)
+            y_hat_slices.append(y_full)
+            syms += [v1, v2]
+            idxs += [idx1_g, idx2_g]
+
+        y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+        # synthesis is dead weight on the encode side: skip it there
+        x_hat = jax.lax.cond(
+            is_encode, lambda _: jnp.zeros((batch, h * 16, w * 16, 3)),
+            lambda _: model.g_s.run(params, y_hat), None)
+        return {"x_hat": x_hat, "syms": syms, "idxs": idxs,
+                "z_vals": z_vals}
+
+    return jax.jit(run)
+
+
+def _total_symbols(model, c_z: int, zh: int, zw: int, batch: int) -> int:
+    """Fixed stream-buffer bucket (u16 units) for one (shape, batch):
+    the format emits at most one halfword per coded symbol (incl. lane
+    padding), so the padded symbol count bounds the stream — encode and
+    decode share one compiled program per bucket."""
+    n = W._pad_len(batch * zh * zw * c_z)
+    half = batch * (zh * 4) * (zw * 4) // 2
+    for ch in model.slices:
+        n += 2 * W._pad_len(half * ch)
+    return n
+
+
+def pack_blob(stream: np.ndarray, states: np.ndarray,
+              excs: List[Tuple[np.ndarray, np.ndarray]],
+              exc_k: int = EXC_K) -> bytes:
+    out = [struct.pack("<IHH", stream.size, states.size, exc_k)]
+    out.append(states.astype("<u4").tobytes())
+    for pos, val in excs:
+        if pos.size > exc_k:
+            raise ValueError(
+                f"section carries {pos.size} out-of-range symbols "
+                f"(capacity {exc_k}) — use the host codec for this input")
+        out.append(struct.pack("<H", pos.size))
+        out.append(np.stack([pos.astype("<u4"),
+                             val.astype("<u4")], 1).tobytes()
+                   if pos.size else b"")
+    out.append(stream.astype("<u2").tobytes())
+    return b"".join(out)
+
+
+def unpack_blob(blob: bytes, n_sections: int):
+    stream_len, lanes, k = struct.unpack("<IHH", blob[:8])
+    off = 8
+    states = np.frombuffer(blob[off:off + 4 * lanes], "<u4")
+    off += 4 * lanes
+    exc_pos = np.zeros((n_sections, k), np.int32)
+    exc_val = np.zeros((n_sections, k), np.int32)
+    exc_n = np.zeros(n_sections, np.int32)
+    for s in range(n_sections):
+        (cnt,) = struct.unpack("<H", blob[off:off + 2])
+        off += 2
+        if cnt:
+            pv = np.frombuffer(blob[off:off + 8 * cnt],
+                               "<u4").reshape(cnt, 2)
+            exc_pos[s, :cnt] = pv[:, 0]
+            exc_val[s, :cnt] = pv[:, 1].astype(np.int32)
+            off += 8 * cnt
+        exc_n[s] = cnt
+    stream = np.frombuffer(blob[off:off + 2 * stream_len], "<u2")
+    return stream, states, exc_pos, exc_val, exc_n
+
+
+def _padded_stream(stream: np.ndarray, bucket: int) -> np.ndarray:
+    out = np.zeros(bucket + W.LANES, np.uint16)
+    out[:stream.size] = stream
+    return out
+
+
+def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
+    """Compress with the dual-mode program: 2 dispatches (analysis +
+    program), ONE fetch, one host wide-rANS encode."""
+    fns = host_codec._codec_fns(model)
+    y, z = fns["analysis"](params, jnp.asarray(x))
+    med = jnp.asarray(wct.medians, jnp.float32).reshape(1, 1, 1, -1)
+    z_sym, _ = fns["z_round"](z, med)
+
+    batch = int(x.shape[0])
+    zh, zw = int(z.shape[1]), int(z.shape[2])
+    c_z = wct.medians.shape[0]
+    run = _wide_program(model, zh, zw, batch)
+    bucket = _total_symbols(model, c_z, zh, zw, batch)
+    exc_k = exc_capacity(bucket)
+    n_sections = 1 + 2 * len(model.slices)
+
+    out = run(params, wct.device(),
+              jnp.zeros(bucket + W.LANES, jnp.uint16),
+              jnp.full((W.LANES,), 1 << 16, jnp.uint32),
+              jnp.zeros((n_sections, exc_k), jnp.int32),
+              jnp.zeros((n_sections, exc_k), jnp.int32),
+              jnp.zeros(n_sections, jnp.int32),
+              z_sym, y, jnp.bool_(True))
+    z_vals, syms, idxs = jax.device_get(
+        (out["z_vals"], out["syms"], out["idxs"]))
+
+    sections = [(z_vals, np.tile(np.arange(c_z, dtype=np.int64),
+                                 batch * zh * zw), wct.factorized)]
+    for v, ix in zip(syms, idxs):
+        sections.append((v, ix, wct.gaussian))
+    stream, states, excs = W.encode_wide_sections(sections)
+    return {"strings": [pack_blob(stream, states, excs, exc_k=exc_k)],
+            "shape": (zh, zw)}
+
+
+def _fit_exc(arr: np.ndarray, k: int) -> np.ndarray:
+    """Resize a (n_sections, header_k) exception array to the program's
+    shape-derived capacity k (live counts are guarded by the caller)."""
+    if arr.shape[1] == k:
+        return arr
+    out = np.zeros((arr.shape[0], k), np.int32)
+    m = min(k, arr.shape[1])
+    out[:, :m] = arr[:, :m]
+    return out
+
+
+def wide_decompress(model, params, strings, shape: Tuple[int, int],
+                    wct: WideCodecTables, batch: int = 1) -> np.ndarray:
+    """ONE dispatch + one fetch: the whole decode graph (wide-rANS
+    included) is a single jitted program."""
+    zh, zw = shape
+    c_z = wct.medians.shape[0]
+    n_sections = 1 + 2 * len(model.slices)
+    stream, states, exc_pos, exc_val, exc_n = unpack_blob(
+        strings[0], n_sections)
+    bucket = _total_symbols(model, c_z, zh, zw, batch)
+    exc_k = exc_capacity(bucket)
+    if int(exc_n.max(initial=0)) > exc_k:
+        raise ValueError(
+            f"blob carries {int(exc_n.max())} exceptions in one section; "
+            f"program capacity for this shape bucket is {exc_k}")
+    exc_pos = _fit_exc(exc_pos, exc_k)
+    exc_val = _fit_exc(exc_val, exc_k)
+    run = _wide_program(model, zh, zw, batch)
+    h, w = zh * 4, zw * 4
+    c_y = sum(model.slices)
+    out = run(params, wct.device(),
+              jnp.asarray(_padded_stream(stream, bucket)),
+              jnp.asarray(states.astype(np.uint32)),
+              jnp.asarray(exc_pos), jnp.asarray(exc_val),
+              jnp.asarray(exc_n),
+              jnp.zeros((batch, zh, zw, c_z), jnp.int32),
+              jnp.zeros((batch, h, w, c_y), jnp.float32),
+              jnp.bool_(False))
+    return np.clip(np.asarray(out["x_hat"]), 0.0, 1.0)
+
+
+__all__ = ["WideCodecTables", "build_wide_codec_tables", "wide_compress",
+           "wide_decompress", "gather_cb", "scatter_cb"]
