@@ -128,11 +128,17 @@ def pick_quality_for_bpp(target_bpp: float, image_path: str,
 def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
            quality: int = 6, checkpoint_path: str = "", artifact: str = "",
            metric: str = "mse", seed: int = 1005, tile: int = 0,
-           batch_tiles: int = 16, target_bpp: float = 0.0) -> dict:
+           batch_tiles: int = 16, target_bpp: float = 0.0,
+           wide: bool = False) -> dict:
     """``tile`` > 0 switches to the tiled codec (coding/tiled.py):
     fixed-shape tiles ride the batch axis, so any resolution runs one
     compiled program at bounded memory. ``target_bpp`` > 0 (TinyLIC)
-    picks the quality/lambda grid point that fits the budget."""
+    picks the quality/lambda grid point that fits the budget. ``wide``
+    (TinyLIC) writes the device-decode wide-rANS format
+    (coding/wide_codec.py): the whole decompress — entropy decode
+    included — later runs as ONE jitted dispatch + fetch."""
+    if wide and (arch not in ("", "TinyLIC")):
+        raise ValueError("--wide (device entropy decode) is TinyLIC-only")
     if target_bpp > 0:
         if arch != "TinyLIC":
             raise ValueError("--target_bpp requires the variable-rate "
@@ -144,18 +150,25 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
                                        batch_tiles=batch_tiles)
     model, params, tables = _prepare(arch, quality, checkpoint_path,
                                      artifact, seed)
+    wct = None
+    if wide:
+        from ..coding import wide_codec
+        # params["eb"] quantiles were already fit in _prepare
+        wct = wide_codec.build_wide_codec_tables(params["eb"])
     img = datasets.load_image(image_path)
     h, w = img.shape[1], img.shape[2]
     t0 = time.time()
     if tile:
         out = tiled.tiled_compress(model, params, np.asarray(img), tables,
-                                   arch, tile, batch_tiles)
-        # blob LENGTH + 0x54 tag discriminate the framing (13 = tiled
-        # TinyLIC, 17 = tiled AR, vs 4 / 8 untiled)
+                                   arch, tile, batch_tiles,
+                                   wide_tables=wct)
+        # blob LENGTH + tag byte discriminate the framing (13 = tiled
+        # TinyLIC — 0x54 host / 0x57 wide — 17 = tiled AR, vs
+        # 4 / 8 / 5 untiled)
         if arch == "TinyLIC":
-            shape_blob = struct.pack("<BHHHHHH", 0x54, tile // 64,
-                                     *out["grid"], batch_tiles,
-                                     *out["zy_shape"])
+            shape_blob = struct.pack("<BHHHHHH", 0x57 if wide else 0x54,
+                                     tile // 64, *out["grid"],
+                                     batch_tiles, *out["zy_shape"])
         else:
             shape_blob = struct.pack("<BHHHHHHHH", 0x54, tile // 64,
                                      *out["grid"], batch_tiles,
@@ -165,7 +178,11 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
         ph = -(-h // 64) * 64 - h
         pw = -(-w // 64) * 64 - w
         x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
-        if arch == "TinyLIC":
+        if wide:
+            from ..coding import wide_codec
+            out = wide_codec.wide_compress(model, params, x, wct)
+            shape_blob = struct.pack("<BHH", 0x57, *out["shape"])
+        elif arch == "TinyLIC":
             out = codec.tinylic_compress(model, params, x, tables)
             shape_blob = struct.pack("<HH", *out["shape"])
         else:
@@ -194,12 +211,16 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
-    if len(shape_blob) not in (4, 8, 13, 17):
+    if len(shape_blob) not in (4, 5, 8, 13, 17):
         raise ValueError(
             f"unsupported shape framing ({len(shape_blob)}-byte blob) — "
             "bitstream written by an incompatible codec revision")
-    if len(shape_blob) in (13, 17) and shape_blob[0] == 0x54:
-        # tiled framing (see encode): length + 'T' tag discriminate
+    if len(shape_blob) in (13, 17) and shape_blob[0] in (0x54, 0x57):
+        # tiled framing (see encode): length + tag byte discriminate
+        wct = None
+        if shape_blob[0] == 0x57:  # wide (device-decode) tile groups
+            from ..coding import wide_codec
+            wct = wide_codec.build_wide_codec_tables(params["eb"])
         if len(shape_blob) == 13:
             _, t64, th, tw, bt, zh, zw = struct.unpack("<BHHHHHH",
                                                        shape_blob)
@@ -210,7 +231,14 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
             zy = (zh, zw, yh, yw)
         x_hat = tiled.tiled_decompress(model, params, strings, t64 * 64,
                                        (th, tw), zy, (h, w), tables, arch,
-                                       batch_tiles=bt)
+                                       batch_tiles=bt, wide_tables=wct)
+    elif len(shape_blob) == 5 and shape_blob[0] == 0x57:
+        # untiled wide format: ONE dispatch + fetch decodes everything
+        from ..coding import wide_codec
+        wct = wide_codec.build_wide_codec_tables(params["eb"])
+        _, zh, zw = struct.unpack("<BHH", shape_blob)
+        x_hat = wide_codec.wide_decompress(model, params, strings,
+                                           (zh, zw), wct)
     elif arch == "TinyLIC":
         zshape = struct.unpack("<HH", shape_blob)
         x_hat = codec.tinylic_decompress(model, params, strings, zshape,
@@ -250,12 +278,17 @@ def main(argv=None):
                    help="rate control (TinyLIC): pick the highest "
                         "quality/lambda grid point whose estimated rate "
                         "fits this bits-per-pixel budget")
+    p.add_argument("--wide", action="store_true",
+                   help="TinyLIC: write the device-decode wide-rANS "
+                        "format — decompress runs as ONE jitted "
+                        "dispatch+fetch (entropy decode on device)")
     a = p.parse_args(argv)
     setup_logger(None)
     if a.mode == "encode":
         out = encode(a.input, a.output, a.arch or "TinyLIC", a.quality,
                      a.checkpoint, a.artifact, tile=a.tile,
-                     batch_tiles=a.batch_tiles, target_bpp=a.target_bpp)
+                     batch_tiles=a.batch_tiles, target_bpp=a.target_bpp,
+                     wide=a.wide)
     else:
         out = decode(a.input, a.output, a.arch, a.quality, a.checkpoint,
                      a.artifact)

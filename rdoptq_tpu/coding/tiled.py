@@ -96,12 +96,17 @@ def _pad_tiles(tiles: np.ndarray, batch_tiles: int) -> np.ndarray:
 
 def tiled_compress(model, params, img: np.ndarray,
                    tables: codec.CodecTables, arch: str, tile: int = 512,
-                   batch_tiles: int = 16) -> Dict:
+                   batch_tiles: int = 16, wide_tables=None) -> Dict:
     """Compress an arbitrary-size image as a grid of fixed-size tiles.
 
     Returns {"strings", "tile", "grid", "zy_shape"}; ``strings`` holds
     2 streams per tile group for TinyLIC (y, z) and per AR tile
-    (y, z). ``tile`` must be a multiple of the arch's pad unit (64)."""
+    (y, z). ``tile`` must be a multiple of the arch's pad unit (64).
+
+    ``wide_tables`` (a wide_codec.WideCodecTables, TinyLIC only)
+    switches the per-group coder to the device-decode wide codec: ONE
+    blob per tile group, and the whole group later decodes in a single
+    dispatch + fetch (coding/wide_codec.py)."""
     if tile % 64:
         raise ValueError(f"tile={tile} must be a multiple of 64")
     _, h, w, _ = img.shape
@@ -114,7 +119,15 @@ def tiled_compress(model, params, img: np.ndarray,
     for size in _group_sizes(th * tw, batch_tiles):
         grp = jnp.asarray(tiles_p[lo:lo + size])
         lo += size
-        if arch == "TinyLIC":
+        if wide_tables is not None:
+            if arch != "TinyLIC":
+                raise ValueError("wide (device-decode) tiling is "
+                                 "TinyLIC-only")
+            from . import wide_codec
+            out = wide_codec.wide_compress(model, params, grp,
+                                           wide_tables)
+            zy_shape = out["shape"]
+        elif arch == "TinyLIC":
             out = codec.tinylic_compress(model, params, grp, tables)
             zy_shape = out["shape"]
         else:
@@ -131,20 +144,28 @@ def tiled_decompress(model, params, strings: Sequence[bytes],
                      tile: int, grid: Tuple[int, int],
                      zy_shape: Sequence[int], size: Tuple[int, int],
                      tables: codec.CodecTables, arch: str,
-                     batch_tiles: int = 16) -> np.ndarray:
+                     batch_tiles: int = 16,
+                     wide_tables=None) -> np.ndarray:
     """Inverse of :func:`tiled_compress` -> (1, h, w, 3) in [0, 1]."""
     th, tw = grid
     h, w = size
     n = th * tw
     tiles = np.zeros((n, tile, tile, 3), np.float32)
     sizes = _group_sizes(n, batch_tiles)
-    assert len(strings) == 2 * len(sizes), (len(strings), len(sizes))
+    per_group = 1 if wide_tables is not None else 2
+    assert len(strings) == per_group * len(sizes), (len(strings),
+                                                    len(sizes))
     lo = 0
     for g, gsize in enumerate(sizes):
-        grp_strings = list(strings[2 * g:2 * g + 2])
+        grp_strings = list(strings[per_group * g:per_group * (g + 1)])
         # every group decodes at its encode-time bucket size (dummy pad
         # tiles included) — same program bucket as encode
-        if arch == "TinyLIC":
+        if wide_tables is not None:
+            from . import wide_codec
+            x_hat = wide_codec.wide_decompress(
+                model, params, grp_strings, tuple(zy_shape[:2]),
+                wide_tables, batch=gsize)
+        elif arch == "TinyLIC":
             x_hat = codec.tinylic_decompress(
                 model, params, grp_strings, tuple(zy_shape[:2]), tables,
                 batch=gsize)

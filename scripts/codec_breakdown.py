@@ -123,6 +123,25 @@ def main():
         rows["enc"].append(e)
         rows["dec"].append(d)
 
+    # wide (device-decode) codec: same image, ONE dispatch + fetch per
+    # side — the direct head-to-head against the host codec's
+    # fetch-bound walls above (coding/wide_codec.py)
+    from rdoptq_tpu.coding import wide_codec
+    wct = wide_codec.build_wide_codec_tables(params["eb"])
+    enc_w = wide_codec.wide_compress(model, params, x, wct)  # warm-up
+    wide_codec.wide_decompress(model, params, enc_w["strings"],
+                               enc_w["shape"], wct)
+    wide_rows = {"enc": [], "dec": []}
+    for _ in range(3):
+        t0 = time.perf_counter()
+        enc_w = wide_codec.wide_compress(model, params, x, wct)
+        wide_rows["enc"].append(time.perf_counter() - t0)
+        t0 = time.perf_counter()
+        wide_codec.wide_decompress(model, params, enc_w["strings"],
+                                   enc_w["shape"], wct)
+        wide_rows["dec"].append(time.perf_counter() - t0)
+    wide_bits = len(enc_w["strings"][0]) * 8
+
     def summarize(rs):
         med = lambda k: float(np.median([r[k] for r in rs]))
         n = rs[0]["n_fetches"]
@@ -148,6 +167,11 @@ def main():
         "bpp": round(bits / (h * w), 4),
         "enc": summarize(rows["enc"]),
         "dec": summarize(rows["dec"]),
+        "wide": {
+            "enc_wall_s": round(float(np.median(wide_rows["enc"])), 4),
+            "dec_wall_s": round(float(np.median(wide_rows["dec"])), 4),
+            "bpp": round(wide_bits / (h * w), 4),
+        },
         "reference_gpu_2k": {"enc_s": 0.323, "dec_s": 0.294,
                              "source": "single_test.ipynb cells 6/15"},
     }

@@ -220,6 +220,15 @@ def test_codec_cli_file_roundtrip(tmp_path, monkeypatch):
     rec = np.asarray(Image.open(rec_path))
     assert rec.shape == (80, 100, 3)
 
+    # the wide (device-decode) format reconstructs the identical image:
+    # both paths decode to the same y_hat by shared-program bit-agreement
+    bs_w = str(tmp_path / "out_wide.rdoq")
+    rec_w = str(tmp_path / "rec_wide.png")
+    ccli.encode(src_path, bs_w, arch="TinyLIC", wide=True)
+    dec_w = ccli.decode(bs_w, rec_w)  # framing selects the wide decoder
+    assert dec_w["size"] == (80, 100)
+    np.testing.assert_array_equal(np.asarray(Image.open(rec_w)), rec)
+
 
 @pytest.mark.skipif(not _has_kodak(), reason="Kodak assets unavailable")
 def test_calibration_is_deterministic(tmp_path, monkeypatch):

@@ -67,6 +67,29 @@ def test_wide_codec_batched(tiny):
     np.testing.assert_array_equal(rec, rec_h)
 
 
+def test_tiled_wide_matches_tiled_host(tiny):
+    """Wide tile groups (one blob per group, device decode) reconstruct
+    identically to the host tiled codec — same y_hat by bit-agreement."""
+    from rdoptq_tpu.coding import tiled
+    model, params, tables, wct = tiny
+    rng = np.random.default_rng(11)
+    img = rng.uniform(size=(1, 150, 200, 3)).astype(np.float32)
+    out_w = tiled.tiled_compress(model, params, img, tables, "TinyLIC",
+                                 tile=64, batch_tiles=4, wide_tables=wct)
+    assert len(out_w["strings"]) == len(
+        tiled._group_sizes(np.prod(out_w["grid"]), 4))
+    rec_w = tiled.tiled_decompress(
+        model, params, out_w["strings"], 64, out_w["grid"],
+        out_w["zy_shape"], (150, 200), tables, "TinyLIC",
+        batch_tiles=4, wide_tables=wct)
+    out_h = tiled.tiled_compress(model, params, img, tables, "TinyLIC",
+                                 tile=64, batch_tiles=4)
+    rec_h = tiled.tiled_decompress(
+        model, params, out_h["strings"], 64, out_h["grid"],
+        out_h["zy_shape"], (150, 200), tables, "TinyLIC", batch_tiles=4)
+    np.testing.assert_array_equal(rec_w, rec_h)
+
+
 def test_wide_rate_overhead_bounded(tiny):
     """The wide blob pays lane states (4 B/lane) + per-section lane
     padding + 8 B/exception + precision-12 rate; the STREAM portion must
