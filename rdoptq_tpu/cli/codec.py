@@ -134,11 +134,10 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
     fixed-shape tiles ride the batch axis, so any resolution runs one
     compiled program at bounded memory. ``target_bpp`` > 0 (TinyLIC)
     picks the quality/lambda grid point that fits the budget. ``wide``
-    (TinyLIC) writes the device-decode wide-rANS format
-    (coding/wide_codec.py): the whole decompress — entropy decode
-    included — later runs as ONE jitted dispatch + fetch."""
-    if wide and (arch not in ("", "TinyLIC")):
-        raise ValueError("--wide (device entropy decode) is TinyLIC-only")
+    writes the device-decode wide-rANS format (coding/wide_codec.py for
+    TinyLIC, coding/wide_ar.py for the wavefront AR models): the whole
+    decompress — entropy decode included — later runs as ONE jitted
+    dispatch + fetch."""
     if target_bpp > 0:
         if arch != "TinyLIC":
             raise ValueError("--target_bpp requires the variable-rate "
@@ -165,12 +164,13 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
         # blob LENGTH + tag byte discriminate the framing (13 = tiled
         # TinyLIC — 0x54 host / 0x57 wide — 17 = tiled AR, vs
         # 4 / 8 / 5 untiled)
+        tag = 0x57 if wide else 0x54
         if arch == "TinyLIC":
-            shape_blob = struct.pack("<BHHHHHH", 0x57 if wide else 0x54,
-                                     tile // 64, *out["grid"],
-                                     batch_tiles, *out["zy_shape"])
+            shape_blob = struct.pack("<BHHHHHH", tag, tile // 64,
+                                     *out["grid"], batch_tiles,
+                                     *out["zy_shape"])
         else:
-            shape_blob = struct.pack("<BHHHHHHHH", 0x54, tile // 64,
+            shape_blob = struct.pack("<BHHHHHHHH", tag, tile // 64,
                                      *out["grid"], batch_tiles,
                                      *out["zy_shape"])
     else:
@@ -178,10 +178,15 @@ def encode(image_path: str, out_path: str, arch: str = "TinyLIC",
         ph = -(-h // 64) * 64 - h
         pw = -(-w // 64) * 64 - w
         x = jnp.pad(jnp.asarray(img), ((0, 0), (0, ph), (0, pw), (0, 0)))
-        if wide:
+        if wide and arch == "TinyLIC":
             from ..coding import wide_codec
             out = wide_codec.wide_compress(model, params, x, wct)
             shape_blob = struct.pack("<BHH", 0x57, *out["shape"])
+        elif wide:
+            from ..coding import wide_ar
+            out = wide_ar.wide_ar_compress(model, params, x, wct)
+            shape_blob = struct.pack("<BHHHH", 0x57, *out["shape"],
+                                     *out["y_shape"])
         elif arch == "TinyLIC":
             out = codec.tinylic_compress(model, params, x, tables)
             shape_blob = struct.pack("<HH", *out["shape"])
@@ -211,7 +216,7 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
     h, w = head["size"]
     shape_blob, *strings = head["strings"]
     t0 = time.time()
-    if len(shape_blob) not in (4, 5, 8, 13, 17):
+    if len(shape_blob) not in (4, 5, 8, 9, 13, 17):
         raise ValueError(
             f"unsupported shape framing ({len(shape_blob)}-byte blob) — "
             "bitstream written by an incompatible codec revision")
@@ -239,6 +244,13 @@ def decode(in_path: str, out_path: str, arch: str = "", quality: int = 0,
         _, zh, zw = struct.unpack("<BHH", shape_blob)
         x_hat = wide_codec.wide_decompress(model, params, strings,
                                            (zh, zw), wct)
+    elif len(shape_blob) == 9 and shape_blob[0] == 0x57:
+        # untiled wide wavefront (AR) format
+        from ..coding import wide_ar
+        wct = wide_ar.build_wide_codec_tables(params["eb"])
+        _, zh, zw, yh, yw = struct.unpack("<BHHHH", shape_blob)
+        x_hat = wide_ar.wide_ar_decompress(model, params, strings,
+                                           (zh, zw), (yh, yw), wct)
     elif arch == "TinyLIC":
         zshape = struct.unpack("<HH", shape_blob)
         x_hat = codec.tinylic_decompress(model, params, strings, zshape,
@@ -279,9 +291,10 @@ def main(argv=None):
                         "quality/lambda grid point whose estimated rate "
                         "fits this bits-per-pixel budget")
     p.add_argument("--wide", action="store_true",
-                   help="TinyLIC: write the device-decode wide-rANS "
-                        "format — decompress runs as ONE jitted "
-                        "dispatch+fetch (entropy decode on device)")
+                   help="write the device-decode wide-rANS format — "
+                        "decompress runs as ONE jitted dispatch+fetch "
+                        "(entropy decode on device; TinyLIC checkerboard "
+                        "and wavefront AR models alike)")
     a = p.parse_args(argv)
     setup_logger(None)
     if a.mode == "encode":

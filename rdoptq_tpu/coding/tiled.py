@@ -103,10 +103,11 @@ def tiled_compress(model, params, img: np.ndarray,
     2 streams per tile group for TinyLIC (y, z) and per AR tile
     (y, z). ``tile`` must be a multiple of the arch's pad unit (64).
 
-    ``wide_tables`` (a wide_codec.WideCodecTables, TinyLIC only)
-    switches the per-group coder to the device-decode wide codec: ONE
-    blob per tile group, and the whole group later decodes in a single
-    dispatch + fetch (coding/wide_codec.py)."""
+    ``wide_tables`` (a wide_codec.WideCodecTables) switches the
+    per-group coder to the device-decode wide codec: ONE blob per tile
+    group, and the whole group later decodes in a single dispatch +
+    fetch (coding/wide_codec.py for TinyLIC, coding/wide_ar.py for the
+    wavefront AR models)."""
     if tile % 64:
         raise ValueError(f"tile={tile} must be a multiple of 64")
     _, h, w, _ = img.shape
@@ -120,13 +121,16 @@ def tiled_compress(model, params, img: np.ndarray,
         grp = jnp.asarray(tiles_p[lo:lo + size])
         lo += size
         if wide_tables is not None:
-            if arch != "TinyLIC":
-                raise ValueError("wide (device-decode) tiling is "
-                                 "TinyLIC-only")
-            from . import wide_codec
-            out = wide_codec.wide_compress(model, params, grp,
-                                           wide_tables)
-            zy_shape = out["shape"]
+            if arch == "TinyLIC":
+                from . import wide_codec
+                out = wide_codec.wide_compress(model, params, grp,
+                                               wide_tables)
+                zy_shape = out["shape"]
+            else:
+                from . import wide_ar
+                out = wide_ar.wide_ar_compress(model, params, grp,
+                                               wide_tables)
+                zy_shape = out["shape"] + out["y_shape"]
         elif arch == "TinyLIC":
             out = codec.tinylic_compress(model, params, grp, tables)
             zy_shape = out["shape"]
@@ -161,10 +165,16 @@ def tiled_decompress(model, params, strings: Sequence[bytes],
         # every group decodes at its encode-time bucket size (dummy pad
         # tiles included) — same program bucket as encode
         if wide_tables is not None:
-            from . import wide_codec
-            x_hat = wide_codec.wide_decompress(
-                model, params, grp_strings, tuple(zy_shape[:2]),
-                wide_tables, batch=gsize)
+            if arch == "TinyLIC":
+                from . import wide_codec
+                x_hat = wide_codec.wide_decompress(
+                    model, params, grp_strings, tuple(zy_shape[:2]),
+                    wide_tables, batch=gsize)
+            else:
+                from . import wide_ar
+                x_hat = wide_ar.wide_ar_decompress(
+                    model, params, grp_strings, tuple(zy_shape[:2]),
+                    tuple(zy_shape[2:]), wide_tables, batch=gsize)
         elif arch == "TinyLIC":
             x_hat = codec.tinylic_decompress(
                 model, params, grp_strings, tuple(zy_shape[:2]), tables,
