@@ -126,55 +126,119 @@ def gaussian_symbols(tables: CodecTables, y: np.ndarray, scales: np.ndarray,
 import functools
 
 
+# Symbols are shipped host<->device as int16 (residuals after mean
+# subtraction; the Gaussian CDF support is a few hundred, so anything
+# beyond this clip would already be un-codable) and CDF-row indexes as
+# uint8 (the scale table has 64 levels).
+_SYM_CLIP = 30000.0
+
+
+def _compact_cb(a, anchors: bool):
+    """Checkerboard compaction on device: (B, H, W, C) -> (B, H*W*C/2).
+
+    The anchor set ((i+j) odd, models/tinylic.checkerboard_anchor_mask)
+    is the union of two regular subgrids — (even rows, odd cols) and
+    (odd rows, even cols) — so compaction is two strided slices + a
+    reshape, no gather. Canonical per-image order: subgrid-1 row-major,
+    then subgrid-2 row-major (both sides of the codec use this helper,
+    so the order is shared by construction)."""
+    if anchors:
+        s1, s2 = a[:, 0::2, 1::2, :], a[:, 1::2, 0::2, :]
+    else:
+        s1, s2 = a[:, 0::2, 0::2, :], a[:, 1::2, 1::2, :]
+    b = a.shape[0]
+    return jnp.concatenate([s1.reshape(b, -1), s2.reshape(b, -1)], axis=1)
+
+
+def _scatter_cb(flat, h: int, w: int, c: int, anchors: bool, base):
+    """Inverse of :func:`_compact_cb`: write the compacted values back
+    into their checkerboard positions of ``base`` (B, h, w, c)."""
+    bsz = flat.shape[0]
+    half = (h // 2) * (w // 2) * c
+    s1 = flat[:, :half].reshape(bsz, h // 2, w // 2, c)
+    s2 = flat[:, half:].reshape(bsz, h // 2, w // 2, c)
+    if anchors:
+        base = base.at[:, 0::2, 1::2, :].set(s1)
+        base = base.at[:, 1::2, 0::2, :].set(s2)
+    else:
+        base = base.at[:, 0::2, 0::2, :].set(s1)
+        base = base.at[:, 1::2, 1::2, :].set(s2)
+    return base
+
+
 @functools.lru_cache(maxsize=8)
 def _codec_fns(model):
     """Jitted helpers — shared (cached) between compress and decompress so
     both sides run the SAME compiled programs: bitwise agreement of the
     Gaussian parameters is what keeps the conditional bitstream decodable.
     Each coding pass is ONE fused dispatch (cc/sc transform + EP head +
-    scale-table indexing) — per-op dispatch latency would otherwise
-    dominate the codec wall-clock."""
+    scale-table indexing + checkerboard compaction) — per-op dispatch
+    latency would otherwise dominate the codec wall-clock, and fetching
+    full int32/float32 grids would dominate its transfer time (at 2K the
+    uncompacted fetch is ~0.9 GB; compacted int16 symbols + uint8 indexes
+    are ~0.17 GB)."""
     from ..models.tinylic import checkerboard_anchor_mask
 
     table = E.default_scale_table()
+    assert int(table.shape[0]) <= 256  # uint8 index transport
 
     def pass1(params, hyper, support, i):
-        """Anchor pass: -> (cc_params, indexes1, means1)."""
+        """Anchor pass: -> (cc_params, compacted uint8 indexes1, means1)."""
         cc_params = model.slice_cc(params, support, i)
         scales1, means1 = model.slice_ep(
             params, hyper, jnp.zeros_like(cc_params), cc_params, i)
-        return cc_params, E.build_indexes(table, scales1), means1
+        idx1 = _compact_cb(E.build_indexes(table, scales1), True)
+        return cc_params, idx1.astype(jnp.uint8), means1
 
     def pass2(params, hyper, cc_params, y_anchor, i):
-        """Non-anchor pass: -> (indexes2, means2). ``y_anchor`` holds the
-        reconstructed anchors (zeros elsewhere)."""
+        """Non-anchor pass: -> (compacted uint8 indexes2, means2).
+        ``y_anchor`` holds the reconstructed anchors (zeros elsewhere)."""
         h, w = y_anchor.shape[1], y_anchor.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
         sc_params = model.slice_sc(params, y_anchor * anchor, i)
         sc_params = sc_params * (1.0 - anchor)
         scales2, means2 = model.slice_ep(params, hyper, sc_params,
                                          cc_params, i)
-        return E.build_indexes(table, scales2), means2
+        idx2 = _compact_cb(E.build_indexes(table, scales2), False)
+        return idx2.astype(jnp.uint8), means2
 
     def quant_anchor(y_slice, means1):
         """Encode-only: quantize the anchor positions and build the
         anchors-reconstructed grid (zeros elsewhere) ON DEVICE, so the
         slice-serial encode chain needs no host synchronization. The
-        values are bit-identical to the decoder's host-side scatter
+        values are bit-identical to the decoder's device scatter
         (`sym + mean` is a single IEEE f32 add on both sides; masked
         positions are exact +0.0 via where)."""
         h, w = y_slice.shape[1], y_slice.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
-        sym_f = jnp.round(y_slice - means1)
+        sym_f = jnp.clip(jnp.round(y_slice - means1), -_SYM_CLIP, _SYM_CLIP)
         y_anchor = jnp.where(anchor > 0, sym_f + means1, 0.0)
-        return sym_f.astype(jnp.int32), y_anchor
+        return _compact_cb(sym_f, True).astype(jnp.int16), y_anchor
 
     def quant_nonanchor(y_slice, means2, y_anchor):
         h, w = y_slice.shape[1], y_slice.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
-        sym_f = jnp.round(y_slice - means2)
+        sym_f = jnp.clip(jnp.round(y_slice - means2), -_SYM_CLIP, _SYM_CLIP)
         y_full = jnp.where(anchor > 0, y_anchor, sym_f + means2)
-        return sym_f.astype(jnp.int32), y_full
+        return _compact_cb(sym_f, False).astype(jnp.int16), y_full
+
+    def scatter_anchor(sym_c, means1):
+        """Decode-side inverse of quant_anchor: compacted int16 symbols
+        (uploaded, tiny) + on-device means -> bit-exact y_anchor grid.
+        Keeping the scatter + mean add on device removes the decoder's
+        full-grid means fetch AND the host numpy boolean scatters."""
+        h, w, c = means1.shape[1], means1.shape[2], means1.shape[3]
+        anchor = checkerboard_anchor_mask(h, w)
+        sym = _scatter_cb(sym_c.astype(jnp.float32), h, w, c, True,
+                          jnp.zeros_like(means1))
+        return jnp.where(anchor > 0, sym + means1, 0.0)
+
+    def scatter_nonanchor(sym_c, means2, y_anchor):
+        h, w, c = means2.shape[1], means2.shape[2], means2.shape[3]
+        anchor = checkerboard_anchor_mask(h, w)
+        sym = _scatter_cb(sym_c.astype(jnp.float32), h, w, c, False,
+                          jnp.zeros_like(means2))
+        return jnp.where(anchor > 0, y_anchor, sym + means2)
 
     return {"h_s": jax.jit(lambda p, z: model.h_s.run(p, z)),
             "g_s": jax.jit(lambda p, y: model.g_s.run(p, y)),
@@ -184,7 +248,9 @@ def _codec_fns(model):
             "pass2": jax.jit(pass2, static_argnums=4),
             "z_round": factorized_round,
             "quant_anchor": jax.jit(quant_anchor),
-            "quant_nonanchor": jax.jit(quant_nonanchor)}
+            "quant_nonanchor": jax.jit(quant_nonanchor),
+            "scatter_anchor": jax.jit(scatter_anchor),
+            "scatter_nonanchor": jax.jit(scatter_nonanchor)}
 
 
 def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
@@ -209,6 +275,7 @@ def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
     z_sym, z_hat = fns["z_round"](z, med)
     hyper = fns["h_s"](params, z_hat)
     h, w = int(y.shape[1]), int(y.shape[2])
+    assert h % 2 == 0 and w % 2 == 0, "checkerboard needs even latent dims"
     splits = [sum(model.slices[:i + 1])
               for i in range(len(model.slices) - 1)]
     y_slices = jnp.split(y, splits, axis=-1)
@@ -227,29 +294,28 @@ def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
         idx1s.append(idx1)
         idx2s.append(idx2)
 
-    # the single host synchronization for the whole batch
-    z_sym, sym1s, sym2s, idx1s, idx2s, anchor = jax.device_get(
-        (z_sym, sym1s, sym2s, idx1s, idx2s,
-         checkerboard_anchor_mask(h, w)))
-    anchor = anchor[0, :, :, 0] > 0
-    B = int(x.shape[0])
+    # the single host synchronization for the whole batch: compacted
+    # int16 symbols + uint8 CDF indexes only (~5x less tunnel traffic
+    # than the full int32/float grids)
+    z_sym, sym1s, sym2s, idx1s, idx2s = jax.device_get(
+        (z_sym, sym1s, sym2s, idx1s, idx2s))
 
     # canonical symbol order: slice-major, then (anchors for every
-    # image, non-anchors for every image) — exactly the order the
-    # decoder can produce parameters in (pass1 is batched, so all
-    # images' anchors decode before the batched pass2)
+    # image, non-anchors for every image), each image in the shared
+    # _compact_cb subgrid order — exactly the order the decoder can
+    # produce parameters in (pass1 is batched, so all images' anchors
+    # decode before the batched pass2)
     z_string = encode_factorized_symbols(tables, z_sym)
-    all_sym, all_idx = [], []
-    for i in range(len(model.slices)):
-        for b in range(B):
-            all_sym.append(sym1s[i][b][anchor].reshape(-1))
-            all_idx.append(idx1s[i][b][anchor].reshape(-1))
-        for b in range(B):
-            all_sym.append(sym2s[i][b][~anchor].reshape(-1))
-            all_idx.append(idx2s[i][b][~anchor].reshape(-1))
+    all_sym = [s.reshape(-1)
+               for i in range(len(model.slices))
+               for s in (sym1s[i], sym2s[i])]
+    all_idx = [s.reshape(-1)
+               for i in range(len(model.slices))
+               for s in (idx1s[i], idx2s[i])]
     g = tables.gaussian
     y_string = rans.encode_with_indexes(
-        np.concatenate(all_sym), np.concatenate(all_idx), g.cdf,
+        np.concatenate(all_sym).astype(np.int32),
+        np.concatenate(all_idx).astype(np.int32), g.cdf,
         g.cdf_lengths, g.offsets)
     return {"strings": [y_string, z_string],
             "shape": (int(z.shape[1]), int(z.shape[2]))}
@@ -265,17 +331,19 @@ def tinylic_decompress(model, params, strings: List[bytes],
     ``batch`` > 1 decodes a batched bitstream (e.g. the tiles of one
     image, coding/tiled.py) with the SAME 2-passes-per-slice device
     cost — the passes are batched, only the host rANS loop is
-    per-image."""
-    from ..models.tinylic import checkerboard_anchor_mask
+    per-image.
 
+    Host<->device traffic per pass is minimal: one fetch of compacted
+    uint8 CDF indexes (pass1/pass2 compact on device), one upload of
+    the decoded compacted int16 symbols; the mean add + checkerboard
+    scatter run on device (scatter_anchor/scatter_nonanchor), which is
+    bit-exact against the encoder's quant_anchor/quant_nonanchor."""
     y_string, z_string = strings
     zh, zw = shape
     fns = _codec_fns(model)
     z_hat = jnp.asarray(decompress_factorized(tables, z_string, (zh, zw),
                                               batch))
     hyper = fns["h_s"](params, z_hat)
-    h, w = zh * 4, zw * 4
-    anchor = np.asarray(checkerboard_anchor_mask(h, w))[0, :, :, 0] > 0
     dec = rans.RansDecoderStream(y_string)
     g = tables.gaussian
 
@@ -283,25 +351,23 @@ def tinylic_decompress(model, params, strings: List[bytes],
     for i, out_ch in enumerate(model.slices):
         support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
         cc_params, idx1_j, means1 = fns["pass1"](params, hyper, support, i)
-        # one batched fetch per pass (indexes + means together): the
-        # decode chain's host syncs are its wall-clock floor on a
-        # remote device link
-        idx1, m1 = jax.device_get((idx1_j, means1))
-        y_anchor = np.zeros((batch, h, w, out_ch), np.float32)
-        for b in range(batch):
-            sym1 = dec.decode(idx1[b][anchor].reshape(-1), g.cdf,
-                              g.cdf_lengths, g.offsets)
-            y_anchor[b][anchor] = sym1.reshape(-1, out_ch) + m1[b][anchor]
+        # one fetch per pass (compacted uint8 indexes): the decode
+        # chain's host syncs are its wall-clock floor on a remote link
+        idx1 = jax.device_get(idx1_j)
+        sym1 = np.stack([
+            dec.decode(idx1[b].astype(np.int32), g.cdf, g.cdf_lengths,
+                       g.offsets).astype(np.int16)
+            for b in range(batch)])
+        y_anchor = fns["scatter_anchor"](jnp.asarray(sym1), means1)
 
-        idx2_j, means2 = fns["pass2"](params, hyper, cc_params,
-                                      jnp.asarray(y_anchor), i)
-        idx2, m2 = jax.device_get((idx2_j, means2))
-        y_full = y_anchor
-        for b in range(batch):
-            sym2 = dec.decode(idx2[b][~anchor].reshape(-1), g.cdf,
-                              g.cdf_lengths, g.offsets)
-            y_full[b][~anchor] = sym2.reshape(-1, out_ch) + m2[b][~anchor]
-        y_hat_slices.append(jnp.asarray(y_full))
+        idx2_j, means2 = fns["pass2"](params, hyper, cc_params, y_anchor, i)
+        idx2 = jax.device_get(idx2_j)
+        sym2 = np.stack([
+            dec.decode(idx2[b].astype(np.int32), g.cdf, g.cdf_lengths,
+                       g.offsets).astype(np.int16)
+            for b in range(batch)])
+        y_hat_slices.append(
+            fns["scatter_nonanchor"](jnp.asarray(sym2), means2, y_anchor))
     dec.close()
 
     y_hat = jnp.concatenate(y_hat_slices, axis=-1)
