@@ -59,12 +59,25 @@ def build_codec_tables(eb_params: E.FactorizedParams,
 # ---------------------------------------------------------------------------
 
 
+def _float_dtype(params):
+    """Dtype of the first floating param leaf — the codec's transform
+    compute dtype follows the params pytree (f32 default; tree-cast the
+    params to bfloat16 for half-precision serving, quant/light.py:181).
+    Static at trace time, so enc and dec — which share every jitted
+    program — resolve the identical dtype by construction."""
+    for leaf in jax.tree_util.tree_leaves(params):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype,
+                                                     jnp.floating):
+            return leaf.dtype
+    return jnp.float32
+
+
 @jax.jit
 def factorized_round(z, med):
     """Device-side factorized quantization: (int32 symbols, exact z_hat).
     The f32 add `sym + med` is IEEE-exact, so z_hat is bit-identical to
     the decoder's host-side `decompress_factorized` arithmetic."""
-    sym_f = jnp.round(z - med)
+    sym_f = jnp.round(z.astype(jnp.float32) - med)
     return sym_f.astype(jnp.int32), sym_f + med
 
 
@@ -183,24 +196,32 @@ def _codec_fns(model):
     assert int(table.shape[0]) <= 256  # uint8 index transport
 
     def pass1(params, hyper, support, i):
-        """Anchor pass: -> (cc_params, compacted uint8 indexes1, means1)."""
-        cc_params = model.slice_cc(params, support, i)
+        """Anchor pass: -> (cc_params, compacted uint8 indexes1, means1).
+        Transform compute runs in the params' dtype (bf16 when the caller
+        tree-casts); symbol-boundary outputs (means) are f32 so the
+        `round(y - mean)` / `sym + mean` arithmetic stays IEEE-exact on
+        both sides regardless of the compute dtype."""
+        pd = _float_dtype(params)
+        cc_params = model.slice_cc(params, support.astype(pd), i)
         scales1, means1 = model.slice_ep(
-            params, hyper, jnp.zeros_like(cc_params), cc_params, i)
+            params, hyper.astype(pd), jnp.zeros_like(cc_params),
+            cc_params, i)
         idx1 = _compact_cb(E.build_indexes(table, scales1), True)
-        return cc_params, idx1.astype(jnp.uint8), means1
+        return cc_params, idx1.astype(jnp.uint8), means1.astype(jnp.float32)
 
     def pass2(params, hyper, cc_params, y_anchor, i):
         """Non-anchor pass: -> (compacted uint8 indexes2, means2).
         ``y_anchor`` holds the reconstructed anchors (zeros elsewhere)."""
+        pd = _float_dtype(params)
         h, w = y_anchor.shape[1], y_anchor.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
-        sc_params = model.slice_sc(params, y_anchor * anchor, i)
-        sc_params = sc_params * (1.0 - anchor)
-        scales2, means2 = model.slice_ep(params, hyper, sc_params,
-                                         cc_params, i)
+        sc_params = model.slice_sc(
+            params, (y_anchor * anchor).astype(pd), i)
+        sc_params = sc_params * (1.0 - anchor).astype(pd)
+        scales2, means2 = model.slice_ep(params, hyper.astype(pd),
+                                         sc_params, cc_params, i)
         idx2 = _compact_cb(E.build_indexes(table, scales2), False)
-        return idx2.astype(jnp.uint8), means2
+        return idx2.astype(jnp.uint8), means2.astype(jnp.float32)
 
     def quant_anchor(y_slice, means1):
         """Encode-only: quantize the anchor positions and build the
@@ -211,14 +232,16 @@ def _codec_fns(model):
         positions are exact +0.0 via where)."""
         h, w = y_slice.shape[1], y_slice.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
-        sym_f = jnp.clip(jnp.round(y_slice - means1), -_SYM_CLIP, _SYM_CLIP)
+        sym_f = jnp.clip(jnp.round(y_slice.astype(jnp.float32) - means1),
+                         -_SYM_CLIP, _SYM_CLIP)
         y_anchor = jnp.where(anchor > 0, sym_f + means1, 0.0)
         return _compact_cb(sym_f, True).astype(jnp.int16), y_anchor
 
     def quant_nonanchor(y_slice, means2, y_anchor):
         h, w = y_slice.shape[1], y_slice.shape[2]
         anchor = checkerboard_anchor_mask(h, w)
-        sym_f = jnp.clip(jnp.round(y_slice - means2), -_SYM_CLIP, _SYM_CLIP)
+        sym_f = jnp.clip(jnp.round(y_slice.astype(jnp.float32) - means2),
+                         -_SYM_CLIP, _SYM_CLIP)
         y_full = jnp.where(anchor > 0, y_anchor, sym_f + means2)
         return _compact_cb(sym_f, False).astype(jnp.int16), y_full
 
@@ -240,10 +263,22 @@ def _codec_fns(model):
                           jnp.zeros_like(means2))
         return jnp.where(anchor > 0, y_anchor, sym + means2)
 
-    return {"h_s": jax.jit(lambda p, z: model.h_s.run(p, z)),
-            "g_s": jax.jit(lambda p, y: model.g_s.run(p, y)),
+    def g_s_u8(p, y):
+        """Synthesis fused with the 8-bit output quantization: fetching
+        uint8 instead of f32 is 4x less tunnel/host traffic for the
+        decoded image (the decode fetch is ~33 MB f32 at 2K)."""
+        x = model.g_s.run(p, y.astype(_float_dtype(p)))
+        return jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0),
+                        0.0, 255.0).astype(jnp.uint8)
+
+    return {"h_s": jax.jit(lambda p, z: model.h_s.run(
+                p, z.astype(_float_dtype(p)))),
+            "g_s": jax.jit(lambda p, y: model.g_s.run(
+                p, y.astype(_float_dtype(p))).astype(jnp.float32)),
+            "g_s_u8": jax.jit(g_s_u8),
             "analysis": jax.jit(lambda p, x: (
-                lambda y: (y, model.h_a.run(p, y)))(model.g_a.run(p, x))),
+                lambda y: (y, model.h_a.run(p, y)))(
+                    model.g_a.run(p, x.astype(_float_dtype(p))))),
             "pass1": jax.jit(pass1, static_argnums=3),
             "pass2": jax.jit(pass2, static_argnums=4),
             "z_round": factorized_round,
@@ -324,7 +359,8 @@ def tinylic_compress(model, params, x, tables: CodecTables) -> Dict:
 def tinylic_decompress(model, params, strings: List[bytes],
                        shape: Tuple[int, int],
                        tables: CodecTables,
-                       batch: int = 1) -> np.ndarray:
+                       batch: int = 1,
+                       out: str = "f32") -> np.ndarray:
     """Slice-serial, spatially-parallel decode (reference
     tinylic.py:314-366): 2 device passes per slice + streaming rANS.
 
@@ -371,6 +407,8 @@ def tinylic_decompress(model, params, strings: List[bytes],
     dec.close()
 
     y_hat = jnp.concatenate(y_hat_slices, axis=-1)
+    if out == "u8":  # 8-bit output, quantized on device (4x less fetch)
+        return np.asarray(fns["g_s_u8"](params, y_hat))
     x_hat = fns["g_s"](params, y_hat)
     return np.clip(np.asarray(x_hat), 0.0, 1.0)
 

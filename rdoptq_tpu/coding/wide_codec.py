@@ -162,8 +162,11 @@ def _wide_program(model, zh: int, zw: int, batch: int):
 
         return jax.lax.cond(is_encode, enc, dec, None)
 
+    clip = host_codec._SYM_CLIP
+
     def run(params, dev, stream, states0, exc_pos, exc_val, exc_n,
             z_sym_in, y_true, is_encode):
+        pd = host_codec._float_dtype(params)
         exc = (exc_pos, exc_val, exc_n)
         c_z = dev["medians"].shape[0]
         z_idx = jnp.broadcast_to(jnp.arange(c_z, dtype=jnp.int32),
@@ -175,7 +178,7 @@ def _wide_program(model, zh: int, zw: int, batch: int):
             z_sym_in.reshape(-1), exc, 0, is_encode)
         z_hat = (z_vals.reshape(batch, zh, zw, c_z).astype(jnp.float32)
                  + dev["medians"].reshape(1, 1, 1, c_z))
-        hyper = model.h_s.run(params, z_hat)
+        hyper = model.h_s.run(params, z_hat.astype(pd))
 
         splits = [sum(model.slices[:i + 1])
                   for i in range(len(model.slices) - 1)]
@@ -187,45 +190,60 @@ def _wide_program(model, zh: int, zw: int, batch: int):
         y_hat_slices = []
         for i, out_ch in enumerate(model.slices):
             support = jnp.concatenate([hyper] + y_hat_slices, axis=-1)
-            cc_params = model.slice_cc(params, support, i)
+            cc_params = model.slice_cc(params, support.astype(pd), i)
             scales1, means1 = model.slice_ep(
                 params, hyper, jnp.zeros_like(cc_params), cc_params, i)
+            means1 = means1.astype(jnp.float32)
             idx1 = E.build_indexes(table, scales1).astype(jnp.int32)
             idx1_g = gather_cb(idx1, True)
             m1_g = gather_cb(means1, True)
-            true1 = jnp.round(gather_cb(y_slices[i], True) - m1_g
-                              ).astype(jnp.int32)
+            # symbols are clipped to the int16 transport range on BOTH
+            # the coded values and the reconstruction (mirrors the host
+            # codec's _SYM_CLIP), keeping enc/dec y_hat bit-identical
+            # even for pathological latents (decode recovers the same
+            # clipped value via the exception list)
+            true1 = jnp.clip(
+                jnp.round(gather_cb(y_slices[i], True).astype(jnp.float32)
+                          - m1_g), -clip, clip).astype(jnp.int32)
             v1, states, ptr = section(dev, "g", stream, states, ptr,
                                       idx1_g, true1, exc, 1 + 2 * i,
                                       is_encode)
             y_anchor = scatter_cb(v1.astype(jnp.float32) + m1_g,
                                   jnp.zeros((batch, h, w, out_ch)), True)
 
-            sc_params = model.slice_sc(params, y_anchor * anchor, i)
-            sc_params = sc_params * (1.0 - anchor)
+            sc_params = model.slice_sc(
+                params, (y_anchor * anchor).astype(pd), i)
+            sc_params = sc_params * (1.0 - anchor).astype(pd)
             scales2, means2 = model.slice_ep(params, hyper, sc_params,
                                              cc_params, i)
+            means2 = means2.astype(jnp.float32)
             idx2 = E.build_indexes(table, scales2).astype(jnp.int32)
             idx2_g = gather_cb(idx2, False)
             m2_g = gather_cb(means2, False)
-            true2 = jnp.round(gather_cb(y_slices[i], False) - m2_g
-                              ).astype(jnp.int32)
+            true2 = jnp.clip(
+                jnp.round(gather_cb(y_slices[i], False).astype(jnp.float32)
+                          - m2_g), -clip, clip).astype(jnp.int32)
             v2, states, ptr = section(dev, "g", stream, states, ptr,
                                       idx2_g, true2, exc, 2 + 2 * i,
                                       is_encode)
             y_full = scatter_cb(v2.astype(jnp.float32) + m2_g,
                                 y_anchor, False)
             y_hat_slices.append(y_full)
-            syms += [v1, v2]
-            idxs += [idx1_g, idx2_g]
+            # int16 symbols / uint8 CDF indexes on the fetch path: the
+            # encode-side fetch drops from ~28 MB int32 to ~10 MB at 2K
+            syms += [v1.astype(jnp.int16), v2.astype(jnp.int16)]
+            idxs += [idx1_g.astype(jnp.uint8), idx2_g.astype(jnp.uint8)]
 
         y_hat = jnp.concatenate(y_hat_slices, axis=-1)
         # synthesis is dead weight on the encode side: skip it there
         x_hat = jax.lax.cond(
             is_encode, lambda _: jnp.zeros((batch, h * 16, w * 16, 3)),
-            lambda _: model.g_s.run(params, y_hat), None)
-        return {"x_hat": x_hat, "syms": syms, "idxs": idxs,
-                "z_vals": z_vals}
+            lambda _: model.g_s.run(params, y_hat.astype(pd)
+                                    ).astype(jnp.float32), None)
+        x_u8 = jnp.clip(jnp.round(x_hat * 255.0), 0.0, 255.0
+                        ).astype(jnp.uint8)
+        return {"x_hat": x_hat, "x_u8": x_u8, "syms": syms, "idxs": idxs,
+                "z_vals": z_vals.astype(jnp.int16)}
 
     return jax.jit(run)
 
@@ -295,6 +313,8 @@ def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
     y, z = fns["analysis"](params, jnp.asarray(x))
     med = jnp.asarray(wct.medians, jnp.float32).reshape(1, 1, 1, -1)
     z_sym, _ = fns["z_round"](z, med)
+    z_sym = jnp.clip(z_sym, -host_codec._SYM_CLIP, host_codec._SYM_CLIP
+                     ).astype(jnp.int32)  # int16 transport safety
 
     batch = int(x.shape[0])
     zh, zw = int(z.shape[1]), int(z.shape[2])
@@ -314,10 +334,12 @@ def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
     z_vals, syms, idxs = jax.device_get(
         (out["z_vals"], out["syms"], out["idxs"]))
 
-    sections = [(z_vals, np.tile(np.arange(c_z, dtype=np.int64),
-                                 batch * zh * zw), wct.factorized)]
+    sections = [(z_vals.astype(np.int32),
+                 np.tile(np.arange(c_z, dtype=np.int64),
+                         batch * zh * zw), wct.factorized)]
     for v, ix in zip(syms, idxs):
-        sections.append((v, ix, wct.gaussian))
+        sections.append((v.astype(np.int32), ix.astype(np.int32),
+                         wct.gaussian))
     stream, states, excs = W.encode_wide_sections(sections)
     return {"strings": [pack_blob(stream, states, excs, exc_k=exc_k)],
             "shape": (zh, zw)}
@@ -335,9 +357,11 @@ def _fit_exc(arr: np.ndarray, k: int) -> np.ndarray:
 
 
 def wide_decompress(model, params, strings, shape: Tuple[int, int],
-                    wct: WideCodecTables, batch: int = 1) -> np.ndarray:
+                    wct: WideCodecTables, batch: int = 1,
+                    out: str = "f32") -> np.ndarray:
     """ONE dispatch + one fetch: the whole decode graph (wide-rANS
-    included) is a single jitted program."""
+    included) is a single jitted program. ``out="u8"`` fetches the
+    device-quantized 8-bit image (4x less transfer than f32)."""
     zh, zw = shape
     c_z = wct.medians.shape[0]
     n_sections = 1 + 2 * len(model.slices)
@@ -354,15 +378,20 @@ def wide_decompress(model, params, strings, shape: Tuple[int, int],
     run = _wide_program(model, zh, zw, batch)
     h, w = zh * 4, zw * 4
     c_y = sum(model.slices)
-    out = run(params, wct.device(),
+    # the zero y_true placeholder must carry the params' compute dtype so
+    # decode hits the SAME compiled program as encode (bit-agreement)
+    res = run(params, wct.device(),
               jnp.asarray(_padded_stream(stream, bucket)),
               jnp.asarray(states.astype(np.uint32)),
               jnp.asarray(exc_pos), jnp.asarray(exc_val),
               jnp.asarray(exc_n),
               jnp.zeros((batch, zh, zw, c_z), jnp.int32),
-              jnp.zeros((batch, h, w, c_y), jnp.float32),
+              jnp.zeros((batch, h, w, c_y),
+                        host_codec._float_dtype(params)),
               jnp.bool_(False))
-    return np.clip(np.asarray(out["x_hat"]), 0.0, 1.0)
+    if out == "u8":
+        return np.asarray(res["x_u8"])
+    return np.clip(np.asarray(res["x_hat"]), 0.0, 1.0)
 
 
 __all__ = ["WideCodecTables", "build_wide_codec_tables", "wide_compress",

@@ -30,7 +30,7 @@ from rdoptq_tpu.coding import codec
 from rdoptq_tpu.eval import datasets
 from rdoptq_tpu.models import registry
 from rdoptq_tpu.ops import entropy as E
-from rdoptq_tpu.quant import serve_int8
+from rdoptq_tpu.quant import light, serve_int8
 
 REPS = 20
 
@@ -270,6 +270,7 @@ def codec_bench(image_path: str) -> dict:
 
     out = {}
     for tag, p in (("fp32", params),
+                   ("bf16", dict(light.cast_params(params))),
                    ("int8", dict(serve_int8.int8_serving_params(params)))):
         enc = codec.tinylic_compress(model, p, x, tables)  # compile warm-up
         t0 = time.time()
@@ -283,6 +284,15 @@ def codec_bench(image_path: str) -> dict:
             rec = codec.tinylic_decompress(model, p, enc["strings"],
                                            enc["shape"], tables)
         dec_s = (time.time() - t0) / 3
+        # 8-bit-output decode: device-side quantize, 4x smaller fetch
+        codec.tinylic_decompress(model, p, enc["strings"], enc["shape"],
+                                 tables, out="u8")
+        t0 = time.time()
+        for _ in range(3):
+            rec_u8 = codec.tinylic_decompress(model, p, enc["strings"],
+                                              enc["shape"], tables,
+                                              out="u8")
+        dec_u8_s = (time.time() - t0) / 3
         bits = sum(len(s) for s in enc["strings"]) * 8
         # only report timings for a DECODABLE stream: if enc/dec entropy
         # parameters ever diverged, the bitstream would decode to garbage
@@ -298,9 +308,17 @@ def codec_bench(image_path: str) -> dict:
             f"{tag}: decoded stream diverges from the forward-path "
             f"reconstruction (psnr {psnr:.2f} dB) — enc/dec "
             f"entropy-parameter mismatch?")
+        # RD point vs the SOURCE image (the guard psnr above is codec-vs-
+        # forward agreement, not quality): unpadded crop, 8-bit output
+        mse_src = float(np.mean(
+            (rec_u8[:, :h, :w].astype(np.float32) / 255.0
+             - np.asarray(img)[:, :h, :w]) ** 2))
         out[tag] = {"enc_s": round(enc_s, 4), "dec_s": round(dec_s, 4),
+                    "dec_u8_s": round(dec_u8_s, 4),
                     "bpp": round(bits / (h * w), 4),
-                    "psnr_db": round(psnr, 2)}
+                    "psnr_db": round(psnr, 2),
+                    "psnr_vs_src_db": round(
+                        10 * np.log10(1.0 / max(mse_src, 1e-12)), 2)}
     return out
 
 

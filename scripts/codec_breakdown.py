@@ -68,7 +68,7 @@ def measure_rtt(reps: int = 20) -> float:
     return (time.perf_counter() - t0) / reps
 
 
-def run_once(model, params, x, tables):
+def run_once(model, params, x, tables, out: str = "f32"):
     """One timed enc + dec with meters attached. Returns breakdown rows."""
     fetch, enc_rans, dec_rans = _Meter(), _Meter(), _Meter()
 
@@ -90,7 +90,7 @@ def run_once(model, params, x, tables):
         fetch.t, fetch.n = 0.0, 0
         t0 = time.perf_counter()
         codec.tinylic_decompress(model, params, enc["strings"],
-                                 enc["shape"], tables)
+                                 enc["shape"], tables, out=out)
         dec_wall = time.perf_counter() - t0
         dec_row = {"wall_s": dec_wall, "host_rans_s": dec_rans.t,
                    "fetch_wall_s": fetch.t, "n_fetches": fetch.n}
@@ -125,22 +125,58 @@ def main():
 
     # wide (device-decode) codec: same image, ONE dispatch + fetch per
     # side — the direct head-to-head against the host codec's
-    # fetch-bound walls above (coding/wide_codec.py)
+    # fetch-bound walls above (coding/wide_codec.py). Decode fetches the
+    # device-quantized uint8 image (out="u8": 4x less transfer; the
+    # honest 8-bit codec output). A separate f32-fetch timing is kept
+    # for continuity with the r2-era rows.
     from rdoptq_tpu.coding import wide_codec
-    wct = wide_codec.build_wide_codec_tables(params["eb"])
-    enc_w = wide_codec.wide_compress(model, params, x, wct)  # warm-up
-    wide_codec.wide_decompress(model, params, enc_w["strings"],
-                               enc_w["shape"], wct)
-    wide_rows = {"enc": [], "dec": []}
-    for _ in range(3):
+
+    def wide_rows_for(p):
+        wct = wide_codec.build_wide_codec_tables(params["eb"])
+        enc_w = wide_codec.wide_compress(model, p, x, wct)  # warm-up
+        wide_codec.wide_decompress(model, p, enc_w["strings"],
+                                   enc_w["shape"], wct, out="u8")
+        rows = {"enc": [], "dec_u8": [], "dec_f32": []}
+        rec = None
+        for _ in range(3):
+            t0 = time.perf_counter()
+            enc_w = wide_codec.wide_compress(model, p, x, wct)
+            rows["enc"].append(time.perf_counter() - t0)
+            t0 = time.perf_counter()
+            rec = wide_codec.wide_decompress(model, p, enc_w["strings"],
+                                             enc_w["shape"], wct,
+                                             out="u8")
+            rows["dec_u8"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
-        enc_w = wide_codec.wide_compress(model, params, x, wct)
-        wide_rows["enc"].append(time.perf_counter() - t0)
-        t0 = time.perf_counter()
-        wide_codec.wide_decompress(model, params, enc_w["strings"],
+        wide_codec.wide_decompress(model, p, enc_w["strings"],
                                    enc_w["shape"], wct)
-        wide_rows["dec"].append(time.perf_counter() - t0)
-    wide_bits = len(enc_w["strings"][0]) * 8
+        rows["dec_f32"].append(time.perf_counter() - t0)
+        bits = len(enc_w["strings"][0]) * 8
+        mse = float(np.mean(
+            (rec[:, :h, :w].astype(np.float32) / 255.0
+             - np.asarray(img)[:, :h, :w]) ** 2))
+        return {
+            "enc_wall_s": round(float(np.median(rows["enc"])), 4),
+            "dec_u8_wall_s": round(float(np.median(rows["dec_u8"])), 4),
+            "dec_f32_wall_s": round(rows["dec_f32"][0], 4),
+            "bpp": round(bits / (h * w), 4),
+            "psnr_src_db": round(
+                10 * np.log10(1.0 / max(mse, 1e-12)), 2),
+        }
+
+    wide_f32 = wide_rows_for(params)
+
+    # bf16 serving dtype (the reference's FP16 row is the comparable
+    # config, single_test.py): params tree-cast, same codec programs
+    from rdoptq_tpu.quant import light
+    p16 = dict(light.cast_params(params))
+    run_once(model, p16, x, tables, out="u8")  # warm-up
+    bf16_rows = {"enc": [], "dec": []}
+    for _ in range(3):
+        e, d, _ = run_once(model, p16, x, tables, out="u8")
+        bf16_rows["enc"].append(e)
+        bf16_rows["dec"].append(d)
+    wide_bf16 = wide_rows_for(p16)
 
     def summarize(rs):
         med = lambda k: float(np.median([r[k] for r in rs]))
@@ -167,11 +203,10 @@ def main():
         "bpp": round(bits / (h * w), 4),
         "enc": summarize(rows["enc"]),
         "dec": summarize(rows["dec"]),
-        "wide": {
-            "enc_wall_s": round(float(np.median(wide_rows["enc"])), 4),
-            "dec_wall_s": round(float(np.median(wide_rows["dec"])), 4),
-            "bpp": round(wide_bits / (h * w), 4),
-        },
+        "wide": wide_f32,
+        "bf16": {"enc": summarize(bf16_rows["enc"]),
+                 "dec_u8": summarize(bf16_rows["dec"]),
+                 "wide": wide_bf16},
         "reference_gpu_2k": {"enc_s": 0.323, "dec_s": 0.294,
                              "source": "single_test.ipynb cells 6/15"},
     }

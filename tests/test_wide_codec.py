@@ -90,6 +90,58 @@ def test_tiled_wide_matches_tiled_host(tiny):
     np.testing.assert_array_equal(rec_w, rec_h)
 
 
+def test_wide_bf16_matches_host_bf16(tiny):
+    """Half-precision serving codec: with params tree-cast to bfloat16
+    (quant/light.cast_params) the wide and host codecs must still agree
+    bit-exactly with each other (shared-program bit-agreement is dtype-
+    independent), and the recon must stay close to the f32 codec's."""
+    from rdoptq_tpu.quant import light
+    model, params, tables, wct = tiny
+    p16 = light.cast_params(params)
+    x = jax.random.uniform(jax.random.PRNGKey(9), (1, 64, 64, 3))
+
+    enc = wide_codec.wide_compress(model, p16, x, wct)
+    rec = wide_codec.wide_decompress(model, p16, enc["strings"],
+                                     enc["shape"], wct)
+    enc_h = codec.tinylic_compress(model, p16, x, tables)
+    rec_h = codec.tinylic_decompress(model, p16, enc_h["strings"],
+                                     enc_h["shape"], tables)
+    np.testing.assert_array_equal(rec, rec_h)
+
+    rec32 = wide_codec.wide_decompress(
+        model, params,
+        wide_codec.wide_compress(model, params, x, wct)["strings"],
+        enc["shape"], wct)
+    assert float(np.abs(rec - rec32).mean()) < 0.02
+
+
+def test_wide_u8_output_matches_f32(tiny):
+    """out='u8' must equal the device-side 8-bit quantization of the f32
+    decode (same program, fused round/clip/cast)."""
+    model, params, tables, wct = tiny
+    x = jax.random.uniform(jax.random.PRNGKey(10), (1, 64, 64, 3))
+    enc = wide_codec.wide_compress(model, params, x, wct)
+    rec_f = wide_codec.wide_decompress(model, params, enc["strings"],
+                                       enc["shape"], wct)
+    rec_u = wide_codec.wide_decompress(model, params, enc["strings"],
+                                       enc["shape"], wct, out="u8")
+    assert rec_u.dtype == np.uint8
+    np.testing.assert_array_equal(
+        rec_u, np.clip(np.round(rec_f * 255.0), 0, 255).astype(np.uint8))
+    # host codec u8 path agrees with its own f32 path the same way
+    rec_hf = codec.tinylic_decompress(model, params, enc_strings(model,
+                                      params, x, tables), (1, 1), tables)
+    rec_hu = codec.tinylic_decompress(model, params, enc_strings(model,
+                                      params, x, tables), (1, 1), tables,
+                                      out="u8")
+    np.testing.assert_array_equal(
+        rec_hu, np.clip(np.round(rec_hf * 255.0), 0, 255).astype(np.uint8))
+
+
+def enc_strings(model, params, x, tables):
+    return codec.tinylic_compress(model, params, x, tables)["strings"]
+
+
 def test_wide_rate_overhead_bounded(tiny):
     """The wide blob pays lane states (4 B/lane) + per-section lane
     padding + 8 B/exception + precision-12 rate; the STREAM portion must
