@@ -31,7 +31,7 @@ import numpy as np
 from ..models.layers import causal_mask
 from ..ops import entropy as E
 from . import rans
-from .codec import (CodecTables, decompress_factorized,
+from .codec import (CodecTables, _float_dtype, decompress_factorized,
                     encode_factorized_symbols, factorized_round)
 
 
@@ -129,6 +129,11 @@ def _wave_fns(model, h: int, w: int):
         P = pixels.shape[1]
         valid = jnp.asarray(
             np.arange(P)[None, :] < counts[:, None])  # (T, P)
+        # wave math is pinned to f32 whatever the transform dtype: the
+        # decoder's host-side `sym + means` is f32, and the context
+        # einsum promotes to f32 anyway (f32 causal mask) — so with
+        # bf16 params the two sides still agree bitwise
+        y = y.astype(jnp.float32)
         y_hat_pad = jnp.zeros((h + 4, w + 4, M), y.dtype)
 
         def step(buf, t):
@@ -218,7 +223,8 @@ def ar_compress_batched(model, params, x, tables: CodecTables) -> Dict:
 def ar_decompress_batched(model, params, strings: List[bytes],
                           shape: Tuple[int, int],
                           y_shape: Tuple[int, int],
-                          tables: CodecTables, batch: int) -> np.ndarray:
+                          tables: CodecTables, batch: int,
+                          out: str = "f32") -> np.ndarray:
     """Batch variant of :func:`ar_decompress`: one vmapped dispatch per
     wave decodes every image's wave-t symbols together."""
     y_string, z_string = strings
@@ -259,8 +265,7 @@ def ar_decompress_batched(model, params, strings: List[bytes],
                                    prev_valid)
     dec.close()
     y_hat = y_hat_pad[:, 2:-2, 2:-2, :]
-    x_hat = _synthesis_fn(model)(params, y_hat)
-    return np.clip(np.asarray(x_hat), 0.0, 1.0)
+    return _finish(model, params, y_hat, out)
 
 
 def ar_compress(model, params, x, tables: CodecTables) -> Dict:
@@ -300,9 +305,10 @@ def ar_compress(model, params, x, tables: CodecTables) -> Dict:
 @functools.lru_cache(maxsize=16)
 def _analysis_fn(model):
     """Cached jit (a per-call closure would re-trace on every image —
-    per-tile overhead in coding/tiled.py)."""
+    per-tile overhead in coding/tiled.py). Transform compute follows the
+    params dtype (bf16 when tree-cast, see codec._float_dtype)."""
     def analysis(params, x):
-        y = model.g_a.run(params, x)
+        y = model.g_a.run(params, x.astype(_float_dtype(params)))
         z = model.h_a.run(params, y)
         return y, z
     return jax.jit(analysis)
@@ -310,17 +316,37 @@ def _analysis_fn(model):
 
 @functools.lru_cache(maxsize=16)
 def _hyper_fn(model):
-    return jax.jit(lambda p, z: model.h_s.run(p, z))
+    return jax.jit(lambda p, z: model.h_s.run(
+        p, z.astype(_float_dtype(p))))
 
 
 @functools.lru_cache(maxsize=16)
 def _synthesis_fn(model):
-    return jax.jit(lambda p, y: model.g_s.run(p, y))
+    return jax.jit(lambda p, y: model.g_s.run(
+        p, y.astype(_float_dtype(p))).astype(jnp.float32))
+
+
+@functools.lru_cache(maxsize=16)
+def _synthesis_u8_fn(model):
+    """Synthesis fused with 8-bit output quantization (4x smaller
+    decode fetch; see codec.g_s_u8)."""
+    def f(p, y):
+        x = model.g_s.run(p, y.astype(_float_dtype(p)))
+        return jnp.clip(jnp.round(x.astype(jnp.float32) * 255.0),
+                        0.0, 255.0).astype(jnp.uint8)
+    return jax.jit(f)
+
+
+def _finish(model, params, y_hat, out: str):
+    if out == "u8":
+        return np.asarray(_synthesis_u8_fn(model)(params, y_hat))
+    return np.clip(np.asarray(_synthesis_fn(model)(params, y_hat)),
+                   0.0, 1.0)
 
 
 def ar_decompress(model, params, strings: List[bytes],
                   shape: Tuple[int, int], y_shape: Tuple[int, int],
-                  tables: CodecTables) -> np.ndarray:
+                  tables: CodecTables, out: str = "f32") -> np.ndarray:
     """Wavefront decode: per wave, the device computes (scales, means),
     the host rANS-decodes that wave's symbols, and the device scatters the
     reconstruction — 3(h-1)+w host↔device round trips instead of h·w."""
@@ -362,8 +388,7 @@ def ar_decompress(model, params, strings: List[bytes],
                                    prev_valid)
     dec.close()
     y_hat = y_hat_pad[2:-2, 2:-2, :][None]
-    x_hat = _synthesis_fn(model)(params, y_hat)
-    return np.clip(np.asarray(x_hat), 0.0, 1.0)
+    return _finish(model, params, y_hat, out)
 
 
 __all__ = ["wavefront_schedule", "ar_compress", "ar_decompress",

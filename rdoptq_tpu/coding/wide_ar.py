@@ -43,6 +43,7 @@ import numpy as np
 from ..ops import entropy as E
 from . import wide_rans as W
 from .ar import _analysis_fn, _wave_fns, wavefront_schedule
+from . import codec as host_codec
 from .codec import factorized_round
 from .wide_codec import (WideCodecTables, build_wide_codec_tables,
                          _fit_exc, pack_blob, unpack_blob)
@@ -110,7 +111,8 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
         z_vals, states, ptr = jax.lax.cond(is_encode, z_enc, z_dec, None)
         z_hat = (z_vals.reshape(batch, zh, zw, c_z).astype(jnp.float32)
                  + dev["medians"].reshape(1, 1, 1, c_z))
-        hyper = model.h_s.run(params, z_hat)
+        pd = host_codec._float_dtype(params)
+        hyper = model.h_s.run(params, z_hat.astype(pd))
 
         gdev = {"lut_sym": dev["g_sym"], "lut_fs": dev["g_fs"],
                 "offsets": dev["g_off"]}
@@ -142,7 +144,10 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
                     lambda pt: jax.lax.dynamic_slice(
                         yb, (pt[0], pt[1], 0), (1, 1, M))[0, 0])(pts)
                 )(y_true)  # (B, P, M)
-                sym = jnp.round(y_vals - means).astype(jnp.int32)
+                sym = jnp.clip(
+                    jnp.round(y_vals.astype(jnp.float32) - means),
+                    -host_codec._SYM_CLIP, host_codec._SYM_CLIP
+                ).astype(jnp.int32)  # int16 transport range
                 sym = jnp.where(valid[None, :, None], sym,
                                 jnp.int32(mp0_abs))
                 flat = jnp.concatenate(
@@ -155,7 +160,9 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
             y_hat_vals = v.astype(jnp.float32) + means
             buf = wave_update_b(buf, t, y_hat_vals,
                                 jnp.broadcast_to(valid, (batch, P)))
-            return (buf, states, ptr), (vals, idx_flat)
+            # int16 symbols / uint8 CDF indexes on the fetch path
+            return ((buf, states, ptr),
+                    (vals.astype(jnp.int16), idx_flat.astype(jnp.uint8)))
 
         (buf, states, ptr), (syms, idxs) = jax.lax.scan(
             step, (buf0, states, ptr), jnp.arange(T))
@@ -164,9 +171,12 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
         x_hat = jax.lax.cond(
             is_encode,
             lambda _: jnp.zeros((batch, h * 16, w * 16, 3)),
-            lambda _: model.g_s.run(params, y_hat), None)
-        return {"x_hat": x_hat, "syms": syms, "idxs": idxs,
-                "z_vals": z_vals}
+            lambda _: model.g_s.run(params, y_hat.astype(pd)
+                                    ).astype(jnp.float32), None)
+        x_u8 = jnp.clip(jnp.round(x_hat * 255.0), 0.0, 255.0
+                        ).astype(jnp.uint8)
+        return {"x_hat": x_hat, "x_u8": x_u8, "syms": syms, "idxs": idxs,
+                "z_vals": z_vals.astype(jnp.int16)}
 
     return jax.jit(run)
 
@@ -191,6 +201,8 @@ def wide_ar_compress(model, params, x, wct: WideCodecTables) -> Dict:
     y, z = _analysis_fn(model)(params, jnp.asarray(x))
     med = jnp.asarray(wct.medians, jnp.float32).reshape(1, 1, 1, -1)
     z_sym, _ = factorized_round(z, med)
+    z_sym = jnp.clip(z_sym, -host_codec._SYM_CLIP, host_codec._SYM_CLIP
+                     ).astype(jnp.int32)  # int16 transport safety
 
     batch = int(x.shape[0])
     h, w = int(y.shape[1]), int(y.shape[2])
@@ -214,10 +226,12 @@ def wide_ar_compress(model, params, x, wct: WideCodecTables) -> Dict:
     z_vals, syms, idxs = jax.device_get(
         (out["z_vals"], out["syms"], out["idxs"]))
 
-    sections = [(z_vals, np.tile(np.arange(c_z, dtype=np.int64),
-                                 batch * zh * zw), wct.factorized)]
+    sections = [(z_vals.astype(np.int32),
+                 np.tile(np.arange(c_z, dtype=np.int64),
+                         batch * zh * zw), wct.factorized)]
     for t in range(T):
-        sections.append((syms[t], idxs[t], wct.gaussian))
+        sections.append((syms[t].astype(np.int32),
+                         idxs[t].astype(np.int32), wct.gaussian))
     stream, states, excs = W.encode_wide_sections(sections)
     return {"strings": [pack_blob(stream, states, excs, exc_k=k)],
             "shape": (zh, zw), "y_shape": (h, w)}
@@ -225,9 +239,10 @@ def wide_ar_compress(model, params, x, wct: WideCodecTables) -> Dict:
 
 def wide_ar_decompress(model, params, strings, shape: Tuple[int, int],
                        y_shape: Tuple[int, int], wct: WideCodecTables,
-                       batch: int = 1) -> np.ndarray:
+                       batch: int = 1, out: str = "f32") -> np.ndarray:
     """ONE dispatch + one fetch: the whole wavefront decode (entropy
-    decode included) is a single jitted program."""
+    decode included) is a single jitted program. ``out="u8"`` fetches
+    the device-quantized 8-bit image (4x less transfer)."""
     zh, zw = shape
     h, w = y_shape
     c_z = wct.medians.shape[0]
@@ -248,16 +263,18 @@ def wide_ar_decompress(model, params, strings, shape: Tuple[int, int],
     run = _wide_ar_program(model, h, w, zh, zw, batch, mp0)
     padded = np.zeros(bucket + W.LANES, np.uint16)
     padded[:stream.size] = stream
-    out = run(params, wct.device(),
+    res = run(params, wct.device(),
               jnp.asarray(padded),
               jnp.asarray(states.astype(np.uint32)),
               jnp.asarray(exc_pos), jnp.asarray(exc_val),
               jnp.asarray(exc_n),
               jnp.zeros((batch, zh, zw, c_z), jnp.int32),
               jnp.zeros((batch, h, w, model.latent_channels),
-                        jnp.float32),
+                        host_codec._float_dtype(params)),
               jnp.bool_(False))
-    return np.clip(np.asarray(out["x_hat"]), 0.0, 1.0)
+    if out == "u8":
+        return np.asarray(res["x_u8"])
+    return np.clip(np.asarray(res["x_hat"]), 0.0, 1.0)
 
 
 __all__ = ["wide_ar_compress", "wide_ar_decompress",

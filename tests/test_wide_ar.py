@@ -33,6 +33,33 @@ def test_wide_ar_matches_host(minnen):
     np.testing.assert_array_equal(rec, rec_h)
 
 
+def test_wide_ar_bf16_matches_host_bf16(minnen):
+    """Half-precision serving: with params tree-cast to bfloat16 the
+    wide and host wavefront codecs must still agree bit-exactly (wave
+    math is pinned to f32; transforms follow the params dtype)."""
+    from rdoptq_tpu.quant import light
+    model, params, tables, wct = minnen
+    p16 = dict(light.cast_params(params))
+    x = jax.random.uniform(jax.random.PRNGKey(11), (1, 64, 64, 3))
+    enc = wide_ar.wide_ar_compress(model, p16, x, wct)
+    rec = wide_ar.wide_ar_decompress(model, p16, enc["strings"],
+                                     enc["shape"], enc["y_shape"], wct)
+    enc_h = ar.ar_compress(model, p16, x, tables)
+    rec_h = ar.ar_decompress(model, p16, enc_h["strings"],
+                             enc_h["shape"], enc_h["y_shape"], tables)
+    np.testing.assert_array_equal(rec, rec_h)
+    # u8 output path: device-quantized 8-bit fetch equals the f32 path
+    rec_u = wide_ar.wide_ar_decompress(model, p16, enc["strings"],
+                                       enc["shape"], enc["y_shape"], wct,
+                                       out="u8")
+    np.testing.assert_array_equal(
+        rec_u, np.clip(np.round(rec * 255.0), 0, 255).astype(np.uint8))
+    rec_hu = ar.ar_decompress(model, p16, enc_h["strings"], enc_h["shape"],
+                              enc_h["y_shape"], tables, out="u8")
+    np.testing.assert_array_equal(
+        rec_hu, np.clip(np.round(rec_h * 255.0), 0, 255).astype(np.uint8))
+
+
 def test_wide_ar_batched(minnen):
     """A tile batch decodes in the same single program; per-sample
     outputs equal the host batched-wavefront codec's."""
