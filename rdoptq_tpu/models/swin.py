@@ -73,6 +73,27 @@ def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+def shift_attn_mask_device(h: int, w: int, ws: int, shift: int) -> jax.Array:
+    """`shift_attn_mask` computed ON DEVICE from iota, bit-identical values.
+
+    The numpy variant becomes an HLO constant literal when traced; at 2K
+    eval resolutions the (nW, N, N) mask is hundreds of MB and overflows
+    the remote-compile request (HTTP 413 over this environment's tunnel).
+    Building it from `jnp.arange` keeps the program free of large
+    literals and lets XLA fuse the mask construction into the attention
+    add. Region bands follow reference layers.py:247-255: rows/cols
+    split at [0, n-ws), [n-ws, n-shift), [n-shift, n)."""
+    def band(n: int) -> jax.Array:
+        i = jnp.arange(n)
+        return (i >= n - ws).astype(jnp.int32) + (i >= n - shift)
+
+    img = band(h)[:, None] * 3 + band(w)[None, :]  # (h, w) region ids
+    win = img.reshape(h // ws, ws, w // ws, ws).transpose(0, 2, 1, 3)
+    win = win.reshape(-1, ws * ws)  # (nW, N)
+    diff = win[:, None, :] != win[:, :, None]
+    return jnp.where(diff, jnp.float32(-100.0), jnp.float32(0.0))
+
+
 def window_partition(x: jax.Array, ws: int) -> jax.Array:
     """(B, H, W, C) -> (B, nW, N, C) with N = ws²."""
     b, h, w, c = x.shape
@@ -168,7 +189,7 @@ def swin_block(p: Dict, x: jax.Array, num_heads: int, ws: int, shift: int,
     x = L.layer_norm(p["norm1"], x)
     if shift_eff > 0:
         x = jnp.roll(x, (-shift_eff, -shift_eff), axis=(1, 2))
-        mask = shift_attn_mask(h, w, ws_eff, shift_eff)
+        mask = shift_attn_mask_device(h, w, ws_eff, shift_eff)
     else:
         mask = None
     xw = window_partition(x, ws_eff)
@@ -206,7 +227,8 @@ def rstb_leaf_paths(path: str, depth: int) -> Tuple[str, ...]:
     return tuple(out)
 
 
-__all__ = ["relative_position_index", "shift_attn_mask", "window_partition",
+__all__ = ["relative_position_index", "shift_attn_mask",
+           "shift_attn_mask_device", "window_partition",
            "window_reverse", "window_attention_init", "swin_block_init",
            "rstb_init", "window_attention", "swin_block", "rstb",
            "rstb_leaf_paths"]

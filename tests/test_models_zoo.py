@@ -169,6 +169,17 @@ def test_shift_mask_blocks_cross_region_attention():
     assert np.all(m[0] == 0.0)
 
 
+def test_shift_mask_device_matches_numpy():
+    # the on-device (iota-built) mask must be bit-identical to the numpy
+    # constant it replaced (swin.py: HTTP-413 fix for 2K eval programs)
+    for h, w, ws, shift in [(8, 8, 4, 2), (16, 24, 8, 4), (24, 16, 8, 4),
+                            (32, 32, 8, 4)]:
+        ref = swin.shift_attn_mask(h, w, ws, shift)
+        dev = np.asarray(swin.shift_attn_mask_device(h, w, ws, shift))
+        assert dev.dtype == np.float32
+        np.testing.assert_array_equal(ref, dev)
+
+
 def test_swin_block_shift_equivariance_smoke():
     # shifted vs non-shifted blocks must both preserve shape & finiteness
     p = swin.swin_block_init(jax.random.PRNGKey(0), 16, 4, 4)
