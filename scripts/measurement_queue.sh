@@ -113,10 +113,14 @@ if (( $(left_min) >= 15 )) && [ ! -f artifacts/codec_breakdown.json ]; then
   commit_artifacts "codec: 2K enc/dec three-way time breakdown"
 fi
 
-# ---- Cheng2020 clean-split re-measure (train on Tecnick, calib CLIC)
-if (( $(left_min) >= 170 )) && [ ! -f artifacts/cheng2020_w8a8_rdo.json ]; then
+# ---- Cheng2020 clean-split re-measure (train on Tecnick, calib CLIC).
+# W10_MODE=nearest: 10-bit nearest beat the reference's calibrated row on
+# Lu2022 already; skip the ~2h W10 RDO unless nearest falls short.
+if (( $(left_min) >= 40 )) && \
+   { [ ! -f artifacts/cheng2020_w8a8_rdo.json ] || \
+     [ ! -f artifacts/cheng2020_w10a10_nearest.json ]; }; then
   echo "$(date) == Cheng2020 clean pipeline (left=$(left_min)min)"
-  SWEEP_FLAGS="--batch_size 2" timeout -s KILL $(budget_s) \
+  SWEEP_FLAGS="--batch_size 2" W10_MODE=nearest timeout -s KILL $(budget_s) \
     bash scripts/repro_results.sh Cheng2020 8000 3000 \
     >> /tmp/cheng_clean.log 2>&1
   commit_ckpts "Cheng2020 clean pipeline"
@@ -124,12 +128,35 @@ if (( $(left_min) >= 170 )) && [ ! -f artifacts/cheng2020_w8a8_rdo.json ]; then
 fi
 
 # ---- Minnen2018 clean-split re-measure
-if (( $(left_min) >= 110 )) && [ ! -f artifacts/minnen2018_w8a8_rdo.json ]; then
+if (( $(left_min) >= 40 )) && \
+   { [ ! -f artifacts/minnen2018_w8a8_rdo.json ] || \
+     [ ! -f artifacts/minnen2018_w10a10_nearest.json ]; }; then
   echo "$(date) == Minnen2018 clean pipeline (left=$(left_min)min)"
-  timeout -s KILL $(budget_s) bash scripts/repro_results.sh \
+  W10_MODE=nearest timeout -s KILL $(budget_s) bash scripts/repro_results.sh \
     Minnen2018 8000 3000 >> /tmp/minnen_clean.log 2>&1
   commit_ckpts "Minnen2018 clean pipeline"
   commit_artifacts "Minnen2018 clean-split re-measure"
+fi
+
+# ---- Lu2022 ms-ssim-trained q6 row (lambda=60.50) — VERDICT r3 Next #3:
+# the largest reference capability with zero measured counterpart, so it
+# outranks the smaller sweeps below.
+if (( $(left_min) >= 70 )) && [ ! -f artifacts/lu2022_msssim_w8a8_rdo.json ]
+then
+  if [ ! -f ckpts/lu2022msssim_q6.npz ]; then
+    echo "$(date) == ms-ssim anchor (left=$(left_min)min)"
+    ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
+      --arch Lu2022 --quality 6 --metric ms-ssim --lmbda 60.50 \
+      --steps 8000 --data_dir "$TECNICK" \
+      --out ckpts/lu2022msssim_q6.npz > /tmp/lu_msssim_train.log 2>&1
+    commit_ckpts "Lu2022 ms-ssim q6 anchor"
+  fi
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 6 \
+    --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w 2000 --batch_size 2 \
+    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/lu2022_msssim_w8a8_rdo.json > /tmp/lu_msssim.log 2>&1
+  commit_artifacts "Lu2022 ms-ssim q6: FP32 vs W8A8 rows"
 fi
 
 # ---- TinyLIC variable-rate anchor + light-PTQ measured table
@@ -185,25 +212,6 @@ then
     >> /tmp/gmm_pipeline.log 2>&1
   commit_ckpts "Cheng2020 GMM anchor"
   commit_artifacts "Cheng2020 GMM: trained anchor + W8A8 sweep"
-fi
-
-# ---- Lu2022 ms-ssim-trained q6 row (lambda=60.50)
-if (( $(left_min) >= 70 )) && [ ! -f artifacts/lu2022_msssim_w8a8_rdo.json ]
-then
-  if [ ! -f ckpts/lu2022msssim_q6.npz ]; then
-    echo "$(date) == ms-ssim anchor (left=$(left_min)min)"
-    ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
-      --arch Lu2022 --quality 6 --metric ms-ssim --lmbda 60.50 \
-      --steps 8000 --data_dir "$TECNICK" \
-      --out ckpts/lu2022msssim_q6.npz > /tmp/lu_msssim_train.log 2>&1
-    commit_ckpts "Lu2022 ms-ssim q6 anchor"
-  fi
-  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 6 \
-    --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \
-    --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w 2000 --batch_size 2 \
-    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
-    --out artifacts/lu2022_msssim_w8a8_rdo.json > /tmp/lu_msssim.log 2>&1
-  commit_artifacts "Lu2022 ms-ssim q6: FP32 vs W8A8 rows"
 fi
 
 # ---- q4/q5 device-fault minimal repro (VERDICT r2 Next #8) — after the

@@ -72,6 +72,11 @@ for i in "${!QUALITIES[@]}"; do
   echo "== training $ARCH q$q (lambda=$lam, $STEPS steps)"
   ATTEMPT_TIMEOUT=7200 retry 8 python -m rdoptq_tpu.cli.train --arch "$ARCH" --quality "$q" \
     --lmbda "$lam" --steps "$STEPS" --data_dir "$TRAIN_DIR" --out "$ckpt"
+  # commit EACH anchor the moment it lands: ckpts/ is gitignored and only
+  # git survives between build sessions — losing an interrupted pipeline's
+  # anchors once already cost a full retrain (ROUND_NOTES round-3)
+  git add -f "$ckpt" 2>/dev/null && \
+    git commit -q -m "ckpts: $ARCH q$q anchor" || true
 done
 
 PAT="ckpts/${LOW}_q{quality}.npz"
@@ -99,7 +104,22 @@ else
     "${EXTRA[@]}" --out "artifacts/${LOW}_w8a8_rdo.json"
 fi
 
-if [[ -f "artifacts/${LOW}_w10a10_rdo.json" ]]; then
+# W10_MODE=nearest skips the expensive RDO calibration at 10 bits: on
+# Lu2022 the W10A10 *nearest* row (-0.22% Kodak) already beat the
+# reference's calibrated 0.49% (artifacts/lu2022_w10a10_nearest.json) —
+# 10-bit grids are ~lossless, so calibrate only if nearest falls short.
+W10_MODE="${W10_MODE:-rdo}"
+if [[ "$W10_MODE" == "nearest" ]]; then
+  if [[ -f "artifacts/${LOW}_w10a10_nearest.json" ]]; then
+    echo "== sweep exists: ${LOW}_w10a10_nearest.json"
+  else
+    echo "== sweep: W10A10 nearest (no calibration)"
+    retry 8 python -m rdoptq_tpu.cli.sweep --arch "$ARCH" --qualities "$QS" \
+      --ckpt_pattern "$PAT" --n_bits_w 10 --n_bits_a 10 --act_quant \
+      --iters_w 0 --extra_eval "$EXTRA_EVAL_W10" \
+      "${EXTRA[@]}" --out "artifacts/${LOW}_w10a10_nearest.json"
+  fi
+elif [[ -f "artifacts/${LOW}_w10a10_rdo.json" ]]; then
   echo "== sweep exists: ${LOW}_w10a10_rdo.json"
 else
   echo "== sweep: W10A10 RDO-calibrated ($ITERS it/unit)"
