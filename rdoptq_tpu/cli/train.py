@@ -29,7 +29,9 @@ def main(argv=None):
     p = argparse.ArgumentParser(description="RD training for LIC models")
     p.add_argument("--arch", default="Minnen2018")
     p.add_argument("--quality", type=int, default=6)
-    p.add_argument("--lmbda", type=float, default=0.0483)
+    p.add_argument("--lmbda", type=float, default=None,
+                   help="RD λ; default: the --metric λ registry's value "
+                        "for --quality (utils/config.py)")
     p.add_argument("--lambdas", default="",
                    help="comma list for variable-rate training of "
                         "λ-conditioned models (TinyLIC): one parameter "
@@ -46,6 +48,9 @@ def main(argv=None):
                    help="warm-start checkpoint (.npz)")
     p.add_argument("--out", required=True, help="output checkpoint (.npz)")
     args = p.parse_args(argv)
+    if args.lmbda is None:
+        from ..utils.config import lambda_for
+        args.lmbda = lambda_for(args.quality, args.metric)
 
     # Lu2022's 16x-downsampled latent must tile into 8x8 attention
     # windows: patch sizes like 192 (latent 12) fail deep inside the

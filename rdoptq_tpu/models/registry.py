@@ -27,7 +27,8 @@ ARCHS = ("Minnen2018", "Cheng2020", "Cheng2020Attn", "Cheng2020GMM",
          "Lu2022", "TinyLIC")
 
 
-def build_model(arch: str, quality: int = 6, lam: Optional[float] = None):
+def build_model(arch: str, quality: int = 6, lam: Optional[float] = None,
+                metric: str = "mse"):
     if arch == "Minnen2018":
         return minnen2018(quality)
     if arch == "Cheng2020":
@@ -41,9 +42,10 @@ def build_model(arch: str, quality: int = 6, lam: Optional[float] = None):
     if arch == "TinyLIC":
         if lam is None:
             # quality selects the rate-condition lambda (the model is
-            # variable-rate: one parameter set serves every quality)
-            from ..utils.config import LAMBDAS_MSE
-            lam = LAMBDAS_MSE[min(max(quality, 1), len(LAMBDAS_MSE)) - 1]
+            # variable-rate: one parameter set serves every quality);
+            # the metric picks the λ grid (mse vs ms-ssim objectives)
+            from ..utils.config import lambda_for
+            lam = lambda_for(quality, metric)
         return tinylic(lam=lam)
     raise ValueError(f"unknown arch {arch!r} (have {ARCHS})")
 

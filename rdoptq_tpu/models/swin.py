@@ -60,7 +60,20 @@ def relative_position_index(ws: int) -> np.ndarray:
 @functools.lru_cache(maxsize=None)
 def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     """Additive attention mask (nW, N, N) for shifted windows: -100 between
-    tokens from different pre-shift regions (reference layers.py:237-283)."""
+    tokens from different pre-shift regions (reference layers.py:237-283).
+
+    WARNING — test oracle only. NEVER call this from traced code: a numpy
+    constant becomes an HLO literal, and at 2K resolutions the mask is
+    hundreds of MB, which overflows the remote-compile request (HTTP 413
+    — see ROUND_NOTES round-3). Traced callers must use
+    `shift_attn_mask_device`, which builds the same values from iota. A
+    size guard below rejects eval-resolution masks outright."""
+    n_elems = (h // ws) * (w // ws) * (ws * ws) ** 2
+    if n_elems > (1 << 24):  # 64 MB of f32 — far beyond any test oracle
+        raise ValueError(
+            f"shift_attn_mask({h},{w},ws={ws}): {n_elems:,} elements "
+            "would become an HLO literal if traced; use "
+            "shift_attn_mask_device for real resolutions")
     img = np.zeros((h, w), np.int32)
     cnt = 0
     for hs in (slice(0, -ws), slice(-ws, -shift), slice(-shift, None)):
@@ -73,6 +86,13 @@ def shift_attn_mask(h: int, w: int, ws: int, shift: int) -> np.ndarray:
     return np.where(diff, -100.0, 0.0).astype(np.float32)
 
 
+@functools.lru_cache(maxsize=64)
+def _shift_attn_mask_eager(h: int, w: int, ws: int, shift: int) -> jax.Array:
+    """Concrete device mask for EAGER callers (one dispatch per shape,
+    then reused — eager per-block rebuilds would pay tunnel RTT each)."""
+    return _shift_attn_mask_iota(h, w, ws, shift)
+
+
 def shift_attn_mask_device(h: int, w: int, ws: int, shift: int) -> jax.Array:
     """`shift_attn_mask` computed ON DEVICE from iota, bit-identical values.
 
@@ -82,7 +102,19 @@ def shift_attn_mask_device(h: int, w: int, ws: int, shift: int) -> jax.Array:
     Building it from `jnp.arange` keeps the program free of large
     literals and lets XLA fuse the mask construction into the attention
     add. Region bands follow reference layers.py:247-255: rows/cols
-    split at [0, n-ws), [n-ws, n-shift), [n-shift, n)."""
+    split at [0, n-ws), [n-ws, n-shift), [n-shift, n).
+
+    Under a trace the iota subgraph is staged per call (XLA CSEs the
+    duplicates); eager callers get an lru-cached concrete array instead —
+    caching a traced result would leak the tracer, so the cache is gated
+    on a clean trace state."""
+    from jax._src.core import trace_state_clean
+    if trace_state_clean():
+        return _shift_attn_mask_eager(h, w, ws, shift)
+    return _shift_attn_mask_iota(h, w, ws, shift)
+
+
+def _shift_attn_mask_iota(h: int, w: int, ws: int, shift: int) -> jax.Array:
     def band(n: int) -> jax.Array:
         i = jnp.arange(n)
         return (i >= n - ws).astype(jnp.int32) + (i >= n - shift)

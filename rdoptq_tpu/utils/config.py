@@ -20,8 +20,24 @@ from typing import Optional
 
 import yaml
 
-# λ per quality index (reference main2.py:37-38)
-LAMBDAS_MSE = (0.0018, 0.0035, 0.0067, 0.0130, 0.0250, 0.0483)
+# λ per quality index q1-q8 (reference ReadMe.md:52 lists q1-6;
+# config.yaml:20 pins q8 λ=0.18 and ckpts/image.py:47-58 spans q1-8 with
+# the (128,192)/(192,320) dim split — q7/q8 use the standard CompressAI
+# table the reference checkpoints were trained with)
+LAMBDAS_MSE = (0.0018, 0.0035, 0.0067, 0.0130, 0.0250, 0.0483,
+               0.0932, 0.1800)
+# MS-SSIM-objective λ per quality (reference ReadMe.md:54 lists q1-6,
+# e.g. the q6 λ=60.50 usage at ReadMe.md:73/89; ckpts/image.py ships
+# ms-ssim checkpoints through q8 — λ7/λ8 from the same CompressAI table)
+LAMBDAS_MSSSIM = (2.40, 4.58, 8.73, 16.64, 31.73, 60.50, 115.37, 220.64)
+
+
+def lambda_for(quality: int, metric: str = "mse") -> float:
+    """RD λ for a quality index under the given training objective
+    (reference: losses/losses.py:28-33 selects the loss form, the λ grids
+    above select the operating point)."""
+    table = LAMBDAS_MSSSIM if metric == "ms-ssim" else LAMBDAS_MSE
+    return table[min(max(quality, 1), len(table)) - 1]
 
 
 @dataclasses.dataclass
@@ -125,5 +141,6 @@ def init_run_dirs(cfg: RunConfig, config_path: Optional[str] = None):
     return out_dir, log_dir
 
 
-__all__ = ["RunConfig", "LAMBDAS_MSE", "parse_args", "load_yaml",
+__all__ = ["RunConfig", "LAMBDAS_MSE", "LAMBDAS_MSSSIM", "lambda_for",
+           "parse_args", "load_yaml",
            "init_run_dirs"]
