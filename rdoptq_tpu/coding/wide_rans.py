@@ -232,7 +232,7 @@ def device_arrays(wt: WideTables):
 
 def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
                 indexes: jax.Array, dev: dict,
-                lanes: int = LANES):
+                lanes: int = LANES, unroll: int = 8):
     """Decode ``indexes.size`` symbols (padded internally to a lane
     multiple) starting from rANS ``states`` and stream halfword offset
     ``ptr0``. Everything is traced jnp: call inside jit.
@@ -242,7 +242,13 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
     Returns ``(values int32 of indexes.shape, new_states, new_ptr)`` —
     thread states/ptr through consecutive decode sections (slices,
     passes) exactly as the encoder chained them.
-    """
+
+    ``unroll`` replicates the scan body per loop iteration: at 2K a
+    TinyLIC decode is ~6700 serial 512-lane steps whose wall-clock is
+    fixed per-iteration overhead, not vector math — unrolling amortizes
+    it without touching the stream format (lane count and rate are
+    unchanged, unlike raising LANES, which ships 4 B of final state per
+    lane)."""
     shape = indexes.shape
     idx = indexes.reshape(-1).astype(jnp.int32)
     n = idx.size
@@ -270,7 +276,8 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
         vals = sym + jnp.take(dev["offsets"], rows)
         return (x, ptr), vals
 
-    (states, ptr), out = jax.lax.scan(step, (states, ptr0), idx_rows)
+    (states, ptr), out = jax.lax.scan(step, (states, ptr0), idx_rows,
+                                      unroll=unroll)
     return out.reshape(-1)[:n].reshape(shape), states, ptr
 
 

