@@ -20,6 +20,33 @@ def test_config_defaults_and_cli_override():
     assert cfg2.quality == 3 and cfg2.n_bits_w == 10 and cfg2.act_quant
 
 
+def test_lambda_registries_span_reference_quality_range():
+    """q1-8 λ grids (reference ReadMe.md:52-54 lists q1-6; config.yaml:20
+    pins q8 mse λ=0.18; ckpts/image.py:47-58 spans q1-8)."""
+    assert len(config.LAMBDAS_MSE) == 8
+    assert len(config.LAMBDAS_MSSSIM) == 8
+    assert config.LAMBDAS_MSE[5] == 0.0483      # q6, ReadMe.md:65
+    assert config.LAMBDAS_MSE[7] == 0.1800      # q8, config.yaml:20
+    assert config.LAMBDAS_MSSSIM[5] == 60.50    # q6, ReadMe.md:73
+    assert config.lambda_for(6) == 0.0483
+    assert config.lambda_for(6, "ms-ssim") == 60.50
+    # clamped outside the grid
+    assert config.lambda_for(0) == config.LAMBDAS_MSE[0]
+    assert config.lambda_for(99) == config.LAMBDAS_MSE[-1]
+    # monotone rate ladders
+    assert list(config.LAMBDAS_MSE) == sorted(config.LAMBDAS_MSE)
+    assert list(config.LAMBDAS_MSSSIM) == sorted(config.LAMBDAS_MSSSIM)
+
+
+def test_registry_tinylic_metric_lambda():
+    """TinyLIC quality->λ goes through the metric's registry."""
+    from rdoptq_tpu.models import registry
+    m_mse = registry.build_model("TinyLIC", 6)
+    m_ssim = registry.build_model("TinyLIC", 6, metric="ms-ssim")
+    assert float(m_mse.lambda_rd) == 0.0483
+    assert float(m_ssim.lambda_rd) == 60.50
+
+
 def test_config_yaml_plus_cli(tmp_path):
     y = tmp_path / "c.yaml"
     y.write_text("quality: 2\nlmbda: 0.0035\narch: Cheng2020\n")
