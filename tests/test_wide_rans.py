@@ -62,6 +62,28 @@ def test_jit_decoder_matches_and_tracks_stream(gaussian_wt):
     assert int(ptr) == stream.size
 
 
+def test_decode_unroll_invariant(gaussian_wt):
+    """`unroll` is a pure scheduling knob: every factor must produce the
+    same values, states, and stream pointer (the wide codec relies on
+    this — RDOPTQ_WIDE_UNROLL changes compiled code, never the format).
+    Length 2560/512 = 5 rows exercises the unroll remainder path."""
+    table, wt = gaussian_wt
+    vals, idx = _sample(table, 2560, seed=7)
+    stream, states, exc_pos, exc_val, _ = W.encode_wide(vals, idx, wt)
+    dev = W.device_arrays(wt)
+    outs = []
+    for unroll in (1, 2, 3, 8):
+        f = jax.jit(lambda s, st, ix, u=unroll: W.decode_wide(
+            s, jnp.int32(0), st, ix, dev, unroll=u))
+        out, st, ptr = f(jnp.asarray(_padded(stream)), jnp.asarray(states),
+                         jnp.asarray(idx, jnp.int32))
+        outs.append((np.asarray(out), np.asarray(st), int(ptr)))
+    for o, s, p in outs[1:]:
+        np.testing.assert_array_equal(o, outs[0][0])
+        np.testing.assert_array_equal(s, outs[0][1])
+        assert p == outs[0][2]
+
+
 def test_sections_chain_across_tables(gaussian_wt):
     """z (factorized rows) then y (gaussian rows) in one stream, decoded
     by two chained decode_wide calls with threaded states/ptr — the
