@@ -1,0 +1,115 @@
+"""Small-image real-codec dataset bench: the Kodak-downsampled row.
+
+Counterpart of the reference's dataset_test.ipynb (light-uniform-PTQ):
+Kodak24 downsampled to 240x180, real compress->decompress per image,
+average enc/dec wall plus RD (BASELINE.md rows: FP32 0.079/0.101 s,
+INT8 0.100/0.122 s on a local CUDA GPU). Uses the trained variable-rate
+anchor and the same warm-call protocol as codec_breakdown.py.
+
+    python scripts/codec_small_bench.py
+
+Writes artifacts/codec_small_bench.json.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from rdoptq_tpu.coding import codec
+from rdoptq_tpu.eval import datasets
+from rdoptq_tpu.ops import metrics as M
+from rdoptq_tpu.quant import light
+
+import scripts.bench_serving as bs
+
+
+def _downsample(img: np.ndarray, h: int, w: int) -> np.ndarray:
+    """Box-ish downsample via PIL (the reference resizes with
+    torchvision; exact kernel doesn't matter for a timing row)."""
+    from PIL import Image
+    arr = (np.asarray(img[0]) * 255.0 + 0.5).astype(np.uint8)
+    im = Image.fromarray(arr).resize((w, h), Image.BICUBIC)
+    return np.asarray(im, np.float32)[None] / 255.0
+
+
+def run_rows(model, params, images, tables) -> dict:
+    """Warm per-image codec over the set; every image shares ONE padded
+    shape bucket (240x180 -> 192x256 after pad), so only the first image
+    pays compile."""
+    enc_t, dec_t, bpps, psnrs, ms = [], [], [], [], []
+    for i, img in enumerate(images):
+        x, meta = M.pad_to_multiple(jnp.asarray(img), 64)
+        t0 = time.perf_counter()
+        out = codec.tinylic_compress(model, params, x, tables)
+        e = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        x_hat = codec.tinylic_decompress(model, params, out["strings"],
+                                         out["shape"], tables)
+        d = time.perf_counter() - t0
+        if i == 0:  # compile call: run once more for the warm number
+            t0 = time.perf_counter()
+            out = codec.tinylic_compress(model, params, x, tables)
+            e = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            x_hat = codec.tinylic_decompress(model, params, out["strings"],
+                                             out["shape"], tables)
+            d = time.perf_counter() - t0
+        enc_t.append(e)
+        dec_t.append(d)
+        x_hat = M.crop_to_original(jnp.asarray(x_hat), meta)
+        x_ref = M.crop_to_original(x, meta)
+        n_px = img.shape[1] * img.shape[2]
+        bpps.append(sum(len(s) for s in out["strings"]) * 8.0 / n_px)
+        psnrs.append(float(M.psnr(x_ref, x_hat)))
+        ms.append(float(M.ms_ssim(x_ref, x_hat)))
+    return {"enc_s_avg": round(float(np.mean(enc_t)), 4),
+            "dec_s_avg": round(float(np.mean(dec_t)), 4),
+            "bpp": round(float(np.mean(bpps)), 4),
+            "psnr_db": round(float(np.mean(psnrs)), 2),
+            "ms_ssim": round(float(np.mean(ms)), 4)}
+
+
+def main():
+    model, params, tables = bs._tinylic_codec_setup()
+    imgs = [_downsample(im, 180, 240) for im in datasets.kodak()]
+    if len(sys.argv) > 1:  # smoke-test limit
+        imgs = imgs[:int(sys.argv[1])]
+    print(f"{len(imgs)} images at {imgs[0].shape}")
+
+    rows = {"fp32": run_rows(model, params, imgs, tables)}
+    print("fp32", rows["fp32"], flush=True)
+    p16 = dict(light.cast_params(params))
+    rows["bf16"] = run_rows(model, p16, imgs, tables)
+    print("bf16", rows["bf16"], flush=True)
+    lq = light.quantize_model(params)
+    rows["int8_w"] = run_rows(model, dict(light.dequantized_params(lq)),
+                              imgs, tables)
+    print("int8_w", rows["int8_w"], flush=True)
+
+    out = {"set": "kodak24 downsampled 240x180 (dataset_test.ipynb row)",
+           "protocol": "warm per-image walls, one shared shape bucket, "
+                       "f32 reconstruction fetch",
+           "params_source": bs.CODEC_PARAMS_SOURCE,
+           "platform": jax.devices()[0].platform,
+           "rows": rows,
+           "reference_gpu": {"fp32": [0.079, 0.101],
+                             "fp16": [0.073, 0.096],
+                             "int8": [0.100, 0.122],
+                             "source": "dataset_test.ipynb cells 6/10/16"}}
+    os.makedirs("artifacts", exist_ok=True)
+    with open("artifacts/codec_small_bench.json", "w") as f:
+        json.dump(out, f, indent=2)
+    print("wrote artifacts/codec_small_bench.json")
+
+
+if __name__ == "__main__":
+    main()

@@ -55,6 +55,15 @@ if (( $(left_min) >= 18 )); then
   commit_artifacts "codec: 2K breakdown re-measured with unrolled wide-rANS decode"
 fi
 
+# ---- small-image dataset codec row (reference dataset_test.ipynb:
+# Kodak24 downsampled 240x180, per-image enc/dec averages)
+if (( $(left_min) >= 12 )) && [ ! -f artifacts/codec_small_bench.json ]
+then
+  echo "$(date) == small-image codec bench"
+  retry 2 python scripts/codec_small_bench.py > /tmp/codec_small.log 2>&1
+  commit_artifacts "codec: Kodak-downsampled dataset enc/dec row"
+fi
+
 # ---- Lu2022 q7/q8 anchors + full q1-q8 W8 nearest sweep (reference
 # registry spans q1-8, ckpts/image.py:47-58; q1/q2 come from the main
 # queue's extension stage)
