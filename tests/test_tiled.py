@@ -189,9 +189,11 @@ def test_cli_tiled_roundtrip(tmp_path, monkeypatch):
 
 def test_target_bpp_rate_control(tmp_path, monkeypatch):
     """--target_bpp picks the highest quality whose estimated rate fits
-    (a generous target -> q6; an impossible target -> q1 + encode
-    still proceeds), and the chosen quality rides the header so decode
-    rebuilds the same lambda."""
+    (a generous target -> top of the λ grid; an impossible target -> q1 +
+    encode still proceeds), and the chosen quality rides the header so
+    decode rebuilds the same lambda."""
+    from rdoptq_tpu.utils.config import LAMBDAS_MSE
+    q_top = len(LAMBDAS_MSE)
     import os
 
     from PIL import Image
@@ -209,12 +211,12 @@ def test_target_bpp_rate_control(tmp_path, monkeypatch):
     src_path = str(tmp_path / "in.png")
     img.save(src_path)
 
-    assert ccli.pick_quality_for_bpp(1e9, src_path) == 6
+    assert ccli.pick_quality_for_bpp(1e9, src_path) == q_top
     assert ccli.pick_quality_for_bpp(1e-9, src_path) == 1
 
     bs = str(tmp_path / "o.rdoq")
     enc = ccli.encode(src_path, bs, arch="TinyLIC", target_bpp=1e9)
-    assert enc["quality"] == 6
+    assert enc["quality"] == q_top
     dec = ccli.decode(bs, str(tmp_path / "r.png"))
     assert dec["size"] == (64, 64)
 
