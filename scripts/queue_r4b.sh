@@ -93,5 +93,41 @@ then
   fi
 fi
 
+# ---- ms-ssim W8 nearest row (the reference's ms-ssim block also has a
+# weight-only column, test_datasets.ipynb cells 16-18) — nearly free
+# once the main queue's ms-ssim anchor exists
+if (( $(left_min) >= 12 )) && [ -f ckpts/lu2022msssim_q6.npz ] && \
+   [ ! -f artifacts/lu2022_msssim_w8_nearest.json ]; then
+  echo "$(date) == Lu2022 ms-ssim W8 nearest"
+  retry 2 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 6 \
+    --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --iters_w 0 \
+    --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/lu2022_msssim_w8_nearest.json \
+    > /tmp/lu_msssim_w8.log 2>&1
+  commit_artifacts "Lu2022 ms-ssim q6 W8 nearest row"
+fi
+
+# ---- second ms-ssim anchor (q5, λ=31.73) + its W8A8 row (VERDICT r3
+# Next #3 asks >=2 ms-ssim anchors)
+if (( $(left_min) >= 75 )) && \
+   [ ! -f artifacts/lu2022_msssim_q5_w8a8_rdo.json ]; then
+  if [ ! -f ckpts/lu2022msssim_q5.npz ]; then
+    echo "$(date) == ms-ssim q5 anchor (left=$(left_min)min)"
+    ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
+      --arch Lu2022 --quality 5 --metric ms-ssim --lmbda 31.73 \
+      --steps 8000 --data_dir "$TECNICK" \
+      --out ckpts/lu2022msssim_q5.npz > /tmp/lu_msssim_q5_train.log 2>&1
+    commit_ckpts "Lu2022 ms-ssim q5 anchor"
+  fi
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Lu2022 --qualities 5 \
+    --ckpt_pattern 'ckpts/lu2022msssim_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w 2000 --batch_size 2 \
+    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/lu2022_msssim_q5_w8a8_rdo.json \
+    > /tmp/lu_msssim_q5.log 2>&1
+  commit_artifacts "Lu2022 ms-ssim q5: FP32 vs W8A8 rows"
+fi
+
 commit_artifacts "artifacts: end-of-phase-2 snapshot"
 echo "$(date) phase-2 queue done (left=$(left_min)min)"
