@@ -133,7 +133,8 @@ def scatter_cb(vals: jax.Array, base: jax.Array, anchor: bool) -> jax.Array:
 
 
 @functools.lru_cache(maxsize=8)
-def _wide_program(model, zh: int, zw: int, batch: int):
+def _wide_program(model, zh: int, zw: int, batch: int,
+                  lanes: int = W.LANES):
     """One jitted executable serving BOTH encode (derive symbols from
     true latents) and decode (wide-rANS the stream). All shared math —
     h_s, slice_cc/sc/ep, build_indexes, means adds — executes
@@ -152,7 +153,8 @@ def _wide_program(model, zh: int, zw: int, batch: int):
         def dec(_):
             vals, st, p = W.decode_wide(
                 stream, ptr, states, idx,
-                {"lut_sym": sym_t, "lut_fs": fs_t, "offsets": off_t})
+                {"lut_sym": sym_t, "lut_fs": fs_t, "offsets": off_t},
+                lanes=lanes)
             vals = W.apply_exceptions(vals, exc[0][e], exc[1][e],
                                       exc[2][e])
             return vals, st, p
@@ -248,15 +250,16 @@ def _wide_program(model, zh: int, zw: int, batch: int):
     return jax.jit(run)
 
 
-def _total_symbols(model, c_z: int, zh: int, zw: int, batch: int) -> int:
-    """Fixed stream-buffer bucket (u16 units) for one (shape, batch):
-    the format emits at most one halfword per coded symbol (incl. lane
-    padding), so the padded symbol count bounds the stream — encode and
-    decode share one compiled program per bucket."""
-    n = W._pad_len(batch * zh * zw * c_z)
+def _total_symbols(model, c_z: int, zh: int, zw: int, batch: int,
+                   lanes: int = W.LANES) -> int:
+    """Fixed stream-buffer bucket (u16 units) for one (shape, batch,
+    lanes): the format emits at most one halfword per coded symbol
+    (incl. lane padding), so the padded symbol count bounds the stream
+    — encode and decode share one compiled program per bucket."""
+    n = W._pad_len(batch * zh * zw * c_z, lanes)
     half = batch * (zh * 4) * (zw * 4) // 2
     for ch in model.slices:
-        n += 2 * W._pad_len(half * ch)
+        n += 2 * W._pad_len(half * ch, lanes)
     return n
 
 
@@ -300,8 +303,9 @@ def unpack_blob(blob: bytes, n_sections: int):
     return stream, states, exc_pos, exc_val, exc_n
 
 
-def _padded_stream(stream: np.ndarray, bucket: int) -> np.ndarray:
-    out = np.zeros(bucket + W.LANES, np.uint16)
+def _padded_stream(stream: np.ndarray, bucket: int,
+                   lanes: int = W.LANES) -> np.ndarray:
+    out = np.zeros(bucket + lanes, np.uint16)
     out[:stream.size] = stream
     return out
 
@@ -319,14 +323,15 @@ def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
     batch = int(x.shape[0])
     zh, zw = int(z.shape[1]), int(z.shape[2])
     c_z = wct.medians.shape[0]
-    run = _wide_program(model, zh, zw, batch)
-    bucket = _total_symbols(model, c_z, zh, zw, batch)
+    lanes = W.wide_lanes()
+    run = _wide_program(model, zh, zw, batch, lanes)
+    bucket = _total_symbols(model, c_z, zh, zw, batch, lanes)
     exc_k = exc_capacity(bucket)
     n_sections = 1 + 2 * len(model.slices)
 
     out = run(params, wct.device(),
-              jnp.zeros(bucket + W.LANES, jnp.uint16),
-              jnp.full((W.LANES,), 1 << 16, jnp.uint32),
+              jnp.zeros(bucket + lanes, jnp.uint16),
+              jnp.full((lanes,), 1 << 16, jnp.uint32),
               jnp.zeros((n_sections, exc_k), jnp.int32),
               jnp.zeros((n_sections, exc_k), jnp.int32),
               jnp.zeros(n_sections, jnp.int32),
@@ -340,7 +345,7 @@ def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
     for v, ix in zip(syms, idxs):
         sections.append((v.astype(np.int32), ix.astype(np.int32),
                          wct.gaussian))
-    stream, states, excs = W.encode_wide_sections(sections)
+    stream, states, excs = W.encode_wide_sections(sections, lanes)
     return {"strings": [pack_blob(stream, states, excs, exc_k=exc_k)],
             "shape": (zh, zw)}
 
@@ -367,7 +372,8 @@ def wide_decompress(model, params, strings, shape: Tuple[int, int],
     n_sections = 1 + 2 * len(model.slices)
     stream, states, exc_pos, exc_val, exc_n = unpack_blob(
         strings[0], n_sections)
-    bucket = _total_symbols(model, c_z, zh, zw, batch)
+    lanes = states.size  # the blob header decides, not the env knob
+    bucket = _total_symbols(model, c_z, zh, zw, batch, lanes)
     exc_k = exc_capacity(bucket)
     if int(exc_n.max(initial=0)) > exc_k:
         raise ValueError(
@@ -375,13 +381,13 @@ def wide_decompress(model, params, strings, shape: Tuple[int, int],
             f"program capacity for this shape bucket is {exc_k}")
     exc_pos = _fit_exc(exc_pos, exc_k)
     exc_val = _fit_exc(exc_val, exc_k)
-    run = _wide_program(model, zh, zw, batch)
+    run = _wide_program(model, zh, zw, batch, lanes)
     h, w = zh * 4, zw * 4
     c_y = sum(model.slices)
     # the zero y_true placeholder must carry the params' compute dtype so
     # decode hits the SAME compiled program as encode (bit-agreement)
     res = run(params, wct.device(),
-              jnp.asarray(_padded_stream(stream, bucket)),
+              jnp.asarray(_padded_stream(stream, bucket, lanes)),
               jnp.asarray(states.astype(np.uint32)),
               jnp.asarray(exc_pos), jnp.asarray(exc_val),
               jnp.asarray(exc_n),

@@ -50,9 +50,24 @@ import numpy as np
 from .cdf import CdfTable
 
 P = 12                 # probability precision (bits)
-LANES = 512            # decode vector width
+LANES = 512            # default decode vector width
 _LOW = 1 << 16         # state lower bound
 _MASK = (1 << P) - 1
+
+
+def wide_lanes() -> int:
+    """Encoder-side lane count: ``RDOPTQ_WIDE_LANES`` (default 512).
+
+    More lanes = proportionally fewer serial scan steps on decode (the
+    2K bottleneck) at a rate cost of 4 B of shipped final state per
+    lane (+ ~lanes/2 pad symbols per section, near-zero rate). The
+    DECODER always follows the blob header's lane count, so this knob
+    only affects newly encoded streams."""
+    import os
+    v = int(os.environ.get("RDOPTQ_WIDE_LANES", str(LANES)))
+    if v < 1 or v > 65535:  # header field is u16
+        raise ValueError(f"RDOPTQ_WIDE_LANES={v} out of range [1, 65535]")
+    return v
 
 
 @dataclasses.dataclass
@@ -232,7 +247,7 @@ def device_arrays(wt: WideTables):
 
 def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
                 indexes: jax.Array, dev: dict,
-                lanes: int = LANES, unroll: int = 8):
+                lanes: int = LANES, unroll: Optional[int] = None):
     """Decode ``indexes.size`` symbols (padded internally to a lane
     multiple) starting from rANS ``states`` and stream halfword offset
     ``ptr0``. Everything is traced jnp: call inside jit.
@@ -248,7 +263,10 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
     fixed per-iteration overhead, not vector math — unrolling amortizes
     it without touching the stream format (lane count and rate are
     unchanged, unlike raising LANES, which ships 4 B of final state per
-    lane)."""
+    lane). Default from ``RDOPTQ_WIDE_UNROLL`` (8) for A/B timing."""
+    if unroll is None:
+        import os
+        unroll = int(os.environ.get("RDOPTQ_WIDE_UNROLL", "8"))
     shape = indexes.shape
     idx = indexes.reshape(-1).astype(jnp.int32)
     n = idx.size
@@ -296,4 +314,5 @@ def apply_exceptions(values: jax.Array, exc_pos: jax.Array,
 
 __all__ = ["WideTables", "build_wide_tables", "encode_wide",
            "encode_wide_sections", "decode_wide_np", "decode_wide",
-           "apply_exceptions", "device_arrays", "P", "LANES"]
+           "apply_exceptions", "device_arrays", "P", "LANES",
+           "wide_lanes"]

@@ -41,8 +41,8 @@ retry() {
 if (( $(left_min) >= 25 )) && [ ! -f artifacts/wide_decode_profile.json ]
 then
   echo "$(date) == wide decode profile"
-  retry 2 python scripts/wide_decode_profile.py 1,8,16 \
-    > /tmp/wide_profile.log 2>&1
+  ATTEMPT_TIMEOUT=3600 retry 2 python scripts/wide_decode_profile.py \
+    1,8,16,8:2048,16:2048,16:4096 > /tmp/wide_profile.log 2>&1
   commit_artifacts "wide codec: decode scan-unroll profile at 2K"
 fi
 

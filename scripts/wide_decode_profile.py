@@ -10,8 +10,9 @@ re-encodes with its own program and round-trips before timing.
 Also separates decode wall into (device compute) vs (u8 image fetch)
 by timing a tiny-fetch variant of the same program.
 
-    python scripts/wide_decode_profile.py [unrolls] [image]
-    # default unrolls "1,8,16"
+    python scripts/wide_decode_profile.py [settings] [image]
+    # settings = comma list of "unroll" or "unroll:lanes"
+    # default "1,8,16,8:2048,16:2048,16:4096"
 
 Writes artifacts/wide_decode_profile.json.
 """
@@ -35,8 +36,10 @@ from rdoptq_tpu.eval import datasets
 import scripts.bench_serving as bs
 
 
-def time_setting(model, params, x, wct, unroll: int, img, h, w) -> dict:
+def time_setting(model, params, x, wct, unroll: int, img, h, w,
+                 lanes: int = 512) -> dict:
     os.environ["RDOPTQ_WIDE_UNROLL"] = str(unroll)
+    os.environ["RDOPTQ_WIDE_LANES"] = str(lanes)
     wide_codec._wide_program.cache_clear()  # program must rebuild
 
     t0 = time.perf_counter()
@@ -67,15 +70,16 @@ def time_setting(model, params, x, wct, unroll: int, img, h, w) -> dict:
     n_sections = 1 + 2 * len(model.slices)
     stream, states, exc_pos, exc_val, exc_n = wide_codec.unpack_blob(
         enc["strings"][0], n_sections)
-    bucket = wide_codec._total_symbols(model, c_z, zh, zw, batch)
+    assert states.size == lanes, (states.size, lanes)
+    bucket = wide_codec._total_symbols(model, c_z, zh, zw, batch, lanes)
     exc_k = wide_codec.exc_capacity(bucket)
-    run = wide_codec._wide_program(model, zh, zw, batch)
+    run = wide_codec._wide_program(model, zh, zw, batch, lanes)
     c_y = sum(model.slices)
     # the y_true placeholder's dtype must match the compiled program
     # (same rule as wide_decompress)
     from rdoptq_tpu.coding import codec as host_codec
     args = (params, wct.device(),
-            jnp.asarray(wide_codec._padded_stream(stream, bucket)),
+            jnp.asarray(wide_codec._padded_stream(stream, bucket, lanes)),
             jnp.asarray(states.astype(np.uint32)),
             jnp.asarray(wide_codec._fit_exc(exc_pos, exc_k)),
             jnp.asarray(wide_codec._fit_exc(exc_val, exc_k)),
@@ -92,7 +96,7 @@ def time_setting(model, params, x, wct, unroll: int, img, h, w) -> dict:
         dev_only.append(time.perf_counter() - t0)
 
     bits = len(enc["strings"][0]) * 8
-    return {"unroll": unroll,
+    return {"unroll": unroll, "lanes": lanes,
             "compile_plus_first_enc_s": round(compile_s, 2),
             "enc_wall_s": round(float(np.median(rows["enc"])), 4),
             "dec_u8_wall_s": round(float(np.median(rows["dec_u8"])), 4),
@@ -102,8 +106,12 @@ def time_setting(model, params, x, wct, unroll: int, img, h, w) -> dict:
 
 
 def main():
-    unrolls = [int(v) for v in
-               (sys.argv[1] if len(sys.argv) > 1 else "1,8,16").split(",")]
+    # settings: comma list of "unroll" or "unroll:lanes" (lanes default
+    # 512 — the shipped-state rate cost is 4 B/lane, see wide_rans)
+    raw = (sys.argv[1] if len(sys.argv) > 1 else
+           "1,8,16,8:2048,16:2048,16:4096").split(",")
+    settings = [(int(s.split(":")[0]),
+                 int(s.split(":")[1]) if ":" in s else 512) for s in raw]
     image = sys.argv[2] if len(sys.argv) > 2 else (
         "/root/reference/task-oriented-PTQ/datasets/clic41/002.png")
     model, params, _ = bs._tinylic_codec_setup()
@@ -122,8 +130,9 @@ def main():
 
     out = {"image": image, "size": [h, w], "params": "bf16 serving",
            "platform": jax.devices()[0].platform, "rows": []}
-    for u in unrolls:
-        row = time_setting(model, params, x, wct, u, img, h, w)
+    for u, lanes in settings:
+        row = time_setting(model, params, x, wct, u, img, h, w,
+                           lanes=lanes)
         out["rows"].append(row)
         print(row, flush=True)
 

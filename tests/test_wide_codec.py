@@ -142,6 +142,29 @@ def enc_strings(model, params, x, tables):
     return codec.tinylic_compress(model, params, x, tables)["strings"]
 
 
+def test_wide_lanes_knob(tiny, monkeypatch):
+    """RDOPTQ_WIDE_LANES reshapes the encoder's stream (fewer serial
+    decode steps per symbol at 4 B/lane header cost); the decoder reads
+    the lane count from the blob header, so streams decode identically
+    with NO env set — and still match the host codec bit-exactly."""
+    model, params, tables, wct = tiny
+    x = jax.random.uniform(jax.random.PRNGKey(12), (1, 64, 64, 3))
+    rec_h = codec.tinylic_decompress(
+        model, params, enc_strings(model, params, x, tables), (1, 1),
+        tables)
+    for lanes in (128, 1024):
+        monkeypatch.setenv("RDOPTQ_WIDE_LANES", str(lanes))
+        enc = wide_codec.wide_compress(model, params, x, wct)
+        n_sections = 1 + 2 * len(model.slices)
+        _, states, _, _, _ = wide_codec.unpack_blob(
+            enc["strings"][0], n_sections)
+        assert states.size == lanes
+        monkeypatch.delenv("RDOPTQ_WIDE_LANES")
+        rec = wide_codec.wide_decompress(model, params, enc["strings"],
+                                         enc["shape"], wct)
+        np.testing.assert_array_equal(rec, rec_h)
+
+
 def test_wide_rate_overhead_bounded(tiny):
     """The wide blob pays lane states (4 B/lane) + per-section lane
     padding + 8 B/exception + precision-12 rate; the STREAM portion must
