@@ -128,18 +128,36 @@ def main():
             if hasattr(a, "dtype") and a.dtype == jnp.bfloat16 else a,
             params["eb"]))
 
+    # resume: settings already measured into the partial survive a
+    # timeout/retry (each 2K setting costs minutes of remote compile)
+    partial = "artifacts/wide_decode_profile.json.partial"
+    final = "artifacts/wide_decode_profile.json"
     out = {"image": image, "size": [h, w], "params": "bf16 serving",
            "platform": jax.devices()[0].platform, "rows": []}
+    if os.path.exists(partial):
+        prev = json.load(open(partial))
+        if prev.get("image") == image:
+            out = prev
+    done = {(r["unroll"], r["lanes"]) for r in out["rows"]}
+
+    os.makedirs("artifacts", exist_ok=True)
     for u, lanes in settings:
+        if (u, lanes) in done:
+            continue
         row = time_setting(model, params, x, wct, u, img, h, w,
                            lanes=lanes)
         out["rows"].append(row)
         print(row, flush=True)
+        tmp = partial + ".tmp"
+        with open(tmp, "w") as f:
+            json.dump(out, f, indent=2)
+        os.replace(tmp, partial)
 
-    os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/wide_decode_profile.json", "w") as f:
+    with open(final, "w") as f:
         json.dump(out, f, indent=2)
-    print("wrote artifacts/wide_decode_profile.json")
+    if os.path.exists(partial):
+        os.remove(partial)
+    print("wrote", final)
 
 
 if __name__ == "__main__":
