@@ -278,9 +278,11 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
     def step(carry, rows):
         x, ptr = carry
         slot = (x & _MASK).astype(jnp.int32)
-        flat = rows * (1 << P) + slot
-        sym = jnp.take(dev["lut_sym"], flat)
-        fs = jnp.take(dev["lut_fs"], flat)
+        # only f/st feed the serial state update: the symbol lookup
+        # (lut_sym) does NOT enter the carry, so the scan emits raw
+        # slots and the sym gather runs ONCE post-scan over all
+        # symbols — 1/3 fewer in-loop gathers on the critical path
+        fs = jnp.take(dev["lut_fs"], rows * (1 << P) + slot)
         f = (fs >> P).astype(jnp.uint32)
         st = (fs & _MASK).astype(jnp.uint32)
         x = f * (x >> P) + slot.astype(jnp.uint32) - st
@@ -291,12 +293,14 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
         fed = jnp.take(feed, jnp.maximum(offs, 0)).astype(jnp.uint32)
         x = jnp.where(renorm, (x << 16) | fed, x)
         ptr = ptr + offs[-1] + 1
-        vals = sym + jnp.take(dev["offsets"], rows)
-        return (x, ptr), vals
+        return (x, ptr), slot
 
-    (states, ptr), out = jax.lax.scan(step, (states, ptr0), idx_rows,
-                                      unroll=unroll)
-    return out.reshape(-1)[:n].reshape(shape), states, ptr
+    (states, ptr), slots = jax.lax.scan(step, (states, ptr0), idx_rows,
+                                        unroll=unroll)
+    # one batched gather for every symbol at once (fully parallel)
+    flat = idx * (1 << P) + slots.reshape(-1)
+    out = jnp.take(dev["lut_sym"], flat) + jnp.take(dev["offsets"], idx)
+    return out[:n].reshape(shape), states, ptr
 
 
 def apply_exceptions(values: jax.Array, exc_pos: jax.Array,
