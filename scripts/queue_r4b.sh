@@ -129,5 +129,28 @@ if (( $(left_min) >= 75 )) && \
   commit_artifacts "Lu2022 ms-ssim q5: FP32 vs W8A8 rows"
 fi
 
+# ---- Cheng2020 ms-ssim q6 row (BASELINE test_datasets.ipynb cells
+# 24-26: the reference's second ms-ssim model family) — only if the
+# Lu2022 ms-ssim stages above left budget
+if (( $(left_min) >= 70 )) && \
+   [ ! -f artifacts/cheng2020_msssim_w8a8_rdo.json ]; then
+  if [ ! -f ckpts/cheng2020msssim_q6.npz ]; then
+    echo "$(date) == Cheng2020 ms-ssim q6 anchor (left=$(left_min)min)"
+    ATTEMPT_TIMEOUT=3600 retry 3 python -m rdoptq_tpu.cli.train \
+      --arch Cheng2020 --quality 6 --metric ms-ssim --lmbda 60.50 \
+      --steps 8000 --data_dir "$TECNICK" \
+      --out ckpts/cheng2020msssim_q6.npz \
+      > /tmp/cheng_msssim_train.log 2>&1
+    commit_ckpts "Cheng2020 ms-ssim q6 anchor"
+  fi
+  retry 3 python -m rdoptq_tpu.cli.sweep --arch Cheng2020 --qualities 6 \
+    --ckpt_pattern 'ckpts/cheng2020msssim_q{quality}.npz' \
+    --n_bits_w 8 --n_bits_a 8 --act_quant --iters_w 2000 --batch_size 2 \
+    --calib_dir "$REFDATA/clic41" --extra_eval "tecnick=$TECNICK" \
+    --out artifacts/cheng2020_msssim_w8a8_rdo.json \
+    > /tmp/cheng_msssim.log 2>&1
+  commit_artifacts "Cheng2020 ms-ssim q6: FP32 vs W8A8 rows"
+fi
+
 commit_artifacts "artifacts: end-of-phase-2 snapshot"
 echo "$(date) phase-2 queue done (left=$(left_min)min)"
