@@ -86,8 +86,19 @@ def pick_quality_for_bpp(target_bpp: float, image_path: str,
     bounded memory at any resolution, same as the tiled codec itself.
 
     Beyond-reference capability: the reference ships a variable-rate
-    TinyLIC but no way to hit a bitrate."""
+    TinyLIC but no way to hit a bitrate.
+
+    The probe walks the FULL q1-8 lambda registry, but the shipped
+    variable-rate anchor (ckpts/tinylic_vr.npz) is trained on lambdas
+    0.0067-0.0483 (q3-q6, scripts/measurement_queue.sh): grid points
+    above that conditioning range still encode/decode correctly (lambda
+    only FiLM-modulates features), but their RD quality is unvalidated
+    extrapolation — a warning is logged when the probe lands there."""
     from ..utils.config import LAMBDAS_MSE
+
+    # trained conditioning range of the SHIPPED anchor; custom anchors
+    # (checkpoint_path set) may cover more, so only warn for the default
+    _vr_trained_max = 0.0483
 
     img = datasets.load_image(image_path)
     h, w = img.shape[1], img.shape[2]
@@ -119,6 +130,12 @@ def pick_quality_for_bpp(target_bpp: float, image_path: str,
         log.info("target_bpp probe: q%d -> %.4f bpp (target %.4f)", q,
                  bpp, target_bpp)
         if bpp <= target_bpp:
+            if not checkpoint_path and LAMBDAS_MSE[q - 1] > _vr_trained_max:
+                log.warning(
+                    "target_bpp picked q%d (lambda %.4f) beyond the "
+                    "shipped anchor's trained range (<= %.4f): still "
+                    "decodable, but RD quality there is extrapolation",
+                    q, LAMBDAS_MSE[q - 1], _vr_trained_max)
             return q
     log.warning("target_bpp %.4f below the grid floor: using q1",
                 target_bpp)

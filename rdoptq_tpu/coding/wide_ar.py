@@ -70,10 +70,13 @@ def _exc_k(model, c_z, h, w, zh, zw, batch) -> int:
 
 @functools.lru_cache(maxsize=8)
 def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
-                     mp0_abs: int):
+                     mp0_abs: int, unroll: int = 8):
     """One jitted executable serving BOTH encode and decode of the
     wavefront AR codec. ``mp0_abs`` is the row-0 most-probable absolute
-    value (static) coded at invalid/padding slots."""
+    value (static) coded at invalid/padding slots. ``unroll`` is the
+    decode scan's unroll factor — an explicit cache-key parameter so a
+    changed RDOPTQ_WIDE_UNROLL reaches a new program (callers read the
+    env once via W.wide_unroll)."""
     M = model.latent_channels
     pixels, counts = wavefront_schedule(h, w)
     T, P = pixels.shape[0], pixels.shape[1]
@@ -99,7 +102,7 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
             vals, st, p = W.decode_wide(
                 stream, jnp.int32(0), states0, z_idx,
                 {"lut_sym": dev["f_sym"], "lut_fs": dev["f_fs"],
-                 "offsets": dev["f_off"]})
+                 "offsets": dev["f_off"]}, unroll=unroll)
             vals = W.apply_exceptions(vals, exc_pos[0], exc_val[0],
                                       exc_n[0])
             return vals, st, p
@@ -133,7 +136,8 @@ def _wide_ar_program(model, h: int, w: int, zh: int, zw: int, batch: int,
 
             def dec(_):
                 vals, st, p = W.decode_wide(stream, ptr, states,
-                                            idx_flat, gdev)
+                                            idx_flat, gdev,
+                                            unroll=unroll)
                 vals = W.apply_exceptions(
                     vals, exc_pos[t + 1], exc_val[t + 1], exc_n[t + 1])
                 return vals, st, p
@@ -209,7 +213,8 @@ def wide_ar_compress(model, params, x, wct: WideCodecTables) -> Dict:
     zh, zw = int(z.shape[1]), int(z.shape[2])
     c_z = wct.medians.shape[0]
     mp0 = _mp0_abs(wct)
-    run = _wide_ar_program(model, h, w, zh, zw, batch, mp0)
+    run = _wide_ar_program(model, h, w, zh, zw, batch, mp0,
+                           W.wide_unroll())
     pixels, _ = wavefront_schedule(h, w)
     T = pixels.shape[0]
     n_sections = 1 + T
@@ -260,7 +265,8 @@ def wide_ar_decompress(model, params, strings, shape: Tuple[int, int],
     exc_val = _fit_exc(exc_val, k)
     bucket = _bucket(model, c_z, h, w, zh, zw, batch)
     mp0 = _mp0_abs(wct)
-    run = _wide_ar_program(model, h, w, zh, zw, batch, mp0)
+    run = _wide_ar_program(model, h, w, zh, zw, batch, mp0,
+                           W.wide_unroll())
     padded = np.zeros(bucket + W.LANES, np.uint16)
     padded[:stream.size] = stream
     res = run(params, wct.device(),

@@ -134,11 +134,15 @@ def scatter_cb(vals: jax.Array, base: jax.Array, anchor: bool) -> jax.Array:
 
 @functools.lru_cache(maxsize=8)
 def _wide_program(model, zh: int, zw: int, batch: int,
-                  lanes: int = W.LANES):
+                  lanes: int = W.LANES, unroll: int = 8):
     """One jitted executable serving BOTH encode (derive symbols from
     true latents) and decode (wide-rANS the stream). All shared math —
     h_s, slice_cc/sc/ep, build_indexes, means adds — executes
-    identically in either mode."""
+    identically in either mode. ``unroll`` (the decode scan's unroll
+    factor) is an explicit cache-key parameter: callers read the
+    RDOPTQ_WIDE_UNROLL env once per dispatch (W.wide_unroll), so a
+    changed env var reaches a NEW program instead of being silently
+    ignored by the lru cache."""
     table = E.default_scale_table()
     h, w = zh * 4, zw * 4
     n_z = batch * zh * zw  # per-channel spatial positions
@@ -154,7 +158,7 @@ def _wide_program(model, zh: int, zw: int, batch: int,
             vals, st, p = W.decode_wide(
                 stream, ptr, states, idx,
                 {"lut_sym": sym_t, "lut_fs": fs_t, "offsets": off_t},
-                lanes=lanes)
+                lanes=lanes, unroll=unroll)
             vals = W.apply_exceptions(vals, exc[0][e], exc[1][e],
                                       exc[2][e])
             return vals, st, p
@@ -282,7 +286,21 @@ def pack_blob(stream: np.ndarray, states: np.ndarray,
 
 
 def unpack_blob(blob: bytes, n_sections: int):
+    if len(blob) < 8:
+        raise ValueError(f"wide blob truncated: {len(blob)} < 8 header "
+                         "bytes")
     stream_len, lanes, k = struct.unpack("<IHH", blob[:8])
+    # a corrupt header is cheap to reject here and expensive downstream:
+    # lanes=0 divides by zero in _pad_len, and an oversized lane count
+    # allocates buffers and pays a multi-minute remote compile before
+    # any decode error surfaces
+    if lanes < 1:
+        raise ValueError("wide blob header carries lanes=0 — truncated "
+                         "or corrupt stream")
+    if len(blob) < 8 + 4 * lanes:
+        raise ValueError(
+            f"wide blob truncated: header promises {lanes} lane states "
+            f"({4 * lanes} bytes) but only {len(blob) - 8} bytes follow")
     off = 8
     states = np.frombuffer(blob[off:off + 4 * lanes], "<u4")
     off += 4 * lanes
@@ -299,6 +317,10 @@ def unpack_blob(blob: bytes, n_sections: int):
             exc_val[s, :cnt] = pv[:, 1].astype(np.int32)
             off += 8 * cnt
         exc_n[s] = cnt
+    if len(blob) < off + 2 * stream_len:
+        raise ValueError(
+            f"wide blob truncated: header promises {stream_len} stream "
+            f"halfwords but only {(len(blob) - off) // 2} present")
     stream = np.frombuffer(blob[off:off + 2 * stream_len], "<u2")
     return stream, states, exc_pos, exc_val, exc_n
 
@@ -310,9 +332,13 @@ def _padded_stream(stream: np.ndarray, bucket: int,
     return out
 
 
-def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
+def wide_compress(model, params, x, wct: WideCodecTables,
+                  lanes: int = 0, unroll: int = 0) -> Dict:
     """Compress with the dual-mode program: 2 dispatches (analysis +
-    program), ONE fetch, one host wide-rANS encode."""
+    program), ONE fetch, one host wide-rANS encode. ``lanes``/``unroll``
+    override the RDOPTQ_WIDE_LANES / RDOPTQ_WIDE_UNROLL env knobs
+    (0 = read the env); both are read HERE, once, and passed into the
+    program cache key."""
     fns = host_codec._codec_fns(model)
     y, z = fns["analysis"](params, jnp.asarray(x))
     med = jnp.asarray(wct.medians, jnp.float32).reshape(1, 1, 1, -1)
@@ -323,8 +349,9 @@ def wide_compress(model, params, x, wct: WideCodecTables) -> Dict:
     batch = int(x.shape[0])
     zh, zw = int(z.shape[1]), int(z.shape[2])
     c_z = wct.medians.shape[0]
-    lanes = W.wide_lanes()
-    run = _wide_program(model, zh, zw, batch, lanes)
+    lanes = lanes or W.wide_lanes()
+    unroll = unroll or W.wide_unroll()
+    run = _wide_program(model, zh, zw, batch, lanes, unroll)
     bucket = _total_symbols(model, c_z, zh, zw, batch, lanes)
     exc_k = exc_capacity(bucket)
     n_sections = 1 + 2 * len(model.slices)
@@ -363,10 +390,12 @@ def _fit_exc(arr: np.ndarray, k: int) -> np.ndarray:
 
 def wide_decompress(model, params, strings, shape: Tuple[int, int],
                     wct: WideCodecTables, batch: int = 1,
-                    out: str = "f32") -> np.ndarray:
+                    out: str = "f32", unroll: int = 0) -> np.ndarray:
     """ONE dispatch + one fetch: the whole decode graph (wide-rANS
     included) is a single jitted program. ``out="u8"`` fetches the
-    device-quantized 8-bit image (4x less transfer than f32)."""
+    device-quantized 8-bit image (4x less transfer than f32).
+    ``unroll`` overrides RDOPTQ_WIDE_UNROLL (0 = read the env once
+    here; it is part of the program cache key)."""
     zh, zw = shape
     c_z = wct.medians.shape[0]
     n_sections = 1 + 2 * len(model.slices)
@@ -381,7 +410,8 @@ def wide_decompress(model, params, strings, shape: Tuple[int, int],
             f"program capacity for this shape bucket is {exc_k}")
     exc_pos = _fit_exc(exc_pos, exc_k)
     exc_val = _fit_exc(exc_val, exc_k)
-    run = _wide_program(model, zh, zw, batch, lanes)
+    run = _wide_program(model, zh, zw, batch, lanes,
+                        unroll or W.wide_unroll())
     h, w = zh * 4, zw * 4
     c_y = sum(model.slices)
     # the zero y_true placeholder must carry the params' compute dtype so

@@ -70,6 +70,19 @@ def wide_lanes() -> int:
     return v
 
 
+def wide_unroll() -> int:
+    """Scan unroll factor for the device decoder: ``RDOPTQ_WIDE_UNROLL``
+    (default 8 — the measured knee at 2K, artifacts/
+    wide_decode_profile.json). Callers that jit-cache programs must read
+    this ONCE at dispatch time and pass it explicitly so it participates
+    in their cache key (wide_codec._wide_program does)."""
+    import os
+    v = int(os.environ.get("RDOPTQ_WIDE_UNROLL", "8"))
+    if v < 1:
+        raise ValueError(f"RDOPTQ_WIDE_UNROLL={v} must be >= 1")
+    return v
+
+
 @dataclasses.dataclass
 class WideTables:
     """Dense decode LUTs for one CdfTable quantized at precision P.
@@ -265,8 +278,7 @@ def decode_wide(stream: jax.Array, ptr0, states: jax.Array,
     unchanged, unlike raising LANES, which ships 4 B of final state per
     lane). Default from ``RDOPTQ_WIDE_UNROLL`` (8) for A/B timing."""
     if unroll is None:
-        import os
-        unroll = int(os.environ.get("RDOPTQ_WIDE_UNROLL", "8"))
+        unroll = wide_unroll()
     shape = indexes.shape
     idx = indexes.reshape(-1).astype(jnp.int32)
     n = idx.size
@@ -319,4 +331,4 @@ def apply_exceptions(values: jax.Array, exc_pos: jax.Array,
 __all__ = ["WideTables", "build_wide_tables", "encode_wide",
            "encode_wide_sections", "decode_wide_np", "decode_wide",
            "apply_exceptions", "device_arrays", "P", "LANES",
-           "wide_lanes"]
+           "wide_lanes", "wide_unroll"]

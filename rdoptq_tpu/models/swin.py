@@ -107,8 +107,14 @@ def shift_attn_mask_device(h: int, w: int, ws: int, shift: int) -> jax.Array:
     Under a trace the iota subgraph is staged per call (XLA CSEs the
     duplicates); eager callers get an lru-cached concrete array instead —
     caching a traced result would leak the tracer, so the cache is gated
-    on a clean trace state."""
-    from jax._src.core import trace_state_clean
+    on a clean trace state. ``trace_state_clean`` is a private JAX API
+    with no stability guarantee: if a JAX upgrade drops it, fall back to
+    the always-correct (just uncached) iota path rather than breaking
+    every Swin import."""
+    try:
+        from jax._src.core import trace_state_clean
+    except ImportError:
+        return _shift_attn_mask_iota(h, w, ws, shift)
     if trace_state_clean():
         return _shift_attn_mask_eager(h, w, ws, shift)
     return _shift_attn_mask_iota(h, w, ws, shift)

@@ -38,15 +38,16 @@ import scripts.bench_serving as bs
 
 def time_setting(model, params, x, wct, unroll: int, img, h, w,
                  lanes: int = 512) -> dict:
-    os.environ["RDOPTQ_WIDE_UNROLL"] = str(unroll)
-    os.environ["RDOPTQ_WIDE_LANES"] = str(lanes)
-    wide_codec._wide_program.cache_clear()  # program must rebuild
-
+    # lanes/unroll pass as explicit arguments (they are part of
+    # _wide_program's lru key), so profiled settings never leak into the
+    # process env or stale-hit the program cache
     t0 = time.perf_counter()
-    enc = wide_codec.wide_compress(model, params, x, wct)  # warm-up+compile
+    enc = wide_codec.wide_compress(model, params, x, wct, lanes=lanes,
+                                   unroll=unroll)  # warm-up+compile
     compile_s = time.perf_counter() - t0
     rec = wide_codec.wide_decompress(model, params, enc["strings"],
-                                     enc["shape"], wct, out="u8")
+                                     enc["shape"], wct, out="u8",
+                                     unroll=unroll)
     mse = float(np.mean((rec[:, :h, :w].astype(np.float32) / 255.0
                          - np.asarray(img)[:, :h, :w]) ** 2))
     psnr = 10 * np.log10(1.0 / max(mse, 1e-12))
@@ -54,11 +55,13 @@ def time_setting(model, params, x, wct, unroll: int, img, h, w,
     rows = {"enc": [], "dec_u8": []}
     for _ in range(3):
         t0 = time.perf_counter()
-        enc = wide_codec.wide_compress(model, params, x, wct)
+        enc = wide_codec.wide_compress(model, params, x, wct,
+                                       lanes=lanes, unroll=unroll)
         rows["enc"].append(time.perf_counter() - t0)
         t0 = time.perf_counter()
         wide_codec.wide_decompress(model, params, enc["strings"],
-                                   enc["shape"], wct, out="u8")
+                                   enc["shape"], wct, out="u8",
+                                   unroll=unroll)
         rows["dec_u8"].append(time.perf_counter() - t0)
 
     # device-only decode: same program, but fetch ONE pixel instead of
@@ -73,7 +76,7 @@ def time_setting(model, params, x, wct, unroll: int, img, h, w,
     assert states.size == lanes, (states.size, lanes)
     bucket = wide_codec._total_symbols(model, c_z, zh, zw, batch, lanes)
     exc_k = wide_codec.exc_capacity(bucket)
-    run = wide_codec._wide_program(model, zh, zw, batch, lanes)
+    run = wide_codec._wide_program(model, zh, zw, batch, lanes, unroll)
     c_y = sum(model.slices)
     # the y_true placeholder's dtype must match the compiled program
     # (same rule as wide_decompress)
