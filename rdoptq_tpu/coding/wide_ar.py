@@ -267,12 +267,13 @@ def wide_ar_decompress(model, params, strings, shape: Tuple[int, int],
     mp0 = _mp0_abs(wct)
     run = _wide_ar_program(model, h, w, zh, zw, batch, mp0,
                            W.wide_unroll())
-    padded = np.zeros(bucket + W.LANES, np.uint16)
-    padded[:stream.size] = stream
+    from .wide_codec import _inflate_inputs
+    stream_d, pos_d, val_d = _inflate_inputs(
+        stream, exc_pos, exc_val, exc_n, bucket, W.LANES, n_sections, k)
     res = run(params, wct.device(),
-              jnp.asarray(padded),
+              stream_d,
               jnp.asarray(states.astype(np.uint32)),
-              jnp.asarray(exc_pos), jnp.asarray(exc_val),
+              pos_d, val_d,
               jnp.asarray(exc_n),
               jnp.zeros((batch, zh, zw, c_z), jnp.int32),
               jnp.zeros((batch, h, w, model.latent_channels),

@@ -35,7 +35,7 @@ from __future__ import annotations
 import dataclasses
 import functools
 import struct
-from typing import Dict, List, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -72,14 +72,24 @@ class WideCodecTables:
     factorized: W.WideTables
     gaussian: W.WideTables
     medians: np.ndarray
+    _dev: Optional[Dict[str, jax.Array]] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     def device(self) -> Dict[str, jax.Array]:
-        f = W.device_arrays(self.factorized)
-        g = W.device_arrays(self.gaussian)
-        return {"f_sym": f["lut_sym"], "f_fs": f["lut_fs"],
-                "f_off": f["offsets"], "g_sym": g["lut_sym"],
-                "g_fs": g["lut_fs"], "g_off": g["offsets"],
-                "medians": jnp.asarray(self.medians, jnp.float32)}
+        """Device-resident LUTs, built ONCE per table set: the dense
+        precision-12 LUTs are ~8 MB — re-uploading them per codec call
+        would cost a quarter second of tunnel transfer on every
+        encode/decode (it used to: the round-4 decode wall's largest
+        non-compute slice)."""
+        if self._dev is None:
+            f = W.device_arrays(self.factorized)
+            g = W.device_arrays(self.gaussian)
+            self._dev = {"f_sym": f["lut_sym"], "f_fs": f["lut_fs"],
+                         "f_off": f["offsets"], "g_sym": g["lut_sym"],
+                         "g_fs": g["lut_fs"], "g_off": g["offsets"],
+                         "medians": jnp.asarray(self.medians,
+                                                jnp.float32)}
+        return self._dev
 
 
 def build_wide_codec_tables(eb_params: E.FactorizedParams,
@@ -332,6 +342,56 @@ def _padded_stream(stream: np.ndarray, bucket: int,
     return out
 
 
+def _ceil_mult(n: int, m: int) -> int:
+    return -(-max(n, 1) // m) * m
+
+
+@functools.lru_cache(maxsize=64)
+def _inflate_program(bucket: int, lanes: int, small: int,
+                     n_sections: int, exc_k: int, exc_small: int):
+    """Zero-pad compact host uploads to the dual-mode program's static
+    input shapes ON DEVICE. The stream bucket is worst-case (one
+    halfword per coded symbol: ~9.5 MB at 2K) but the live stream is
+    bpp-sized (~0.2 MB), and the exception arrays are worst-case-K but
+    almost always empty — uploading the zeros through the tunnel cost
+    more than the decode itself. This program is pure integer data
+    movement (no float math), so it cannot perturb entropy-parameter
+    bit-agreement; the dual-mode executable stays byte-identical."""
+
+    @jax.jit
+    def inflate(s_small, pos_small, val_small):
+        stream = jnp.zeros(bucket + lanes, jnp.uint16)
+        stream = jax.lax.dynamic_update_slice(stream, s_small, (0,))
+        pos = jnp.zeros((n_sections, exc_k), jnp.int32)
+        pos = jax.lax.dynamic_update_slice(pos, pos_small, (0, 0))
+        val = jnp.zeros((n_sections, exc_k), jnp.int32)
+        val = jax.lax.dynamic_update_slice(val, val_small, (0, 0))
+        return stream, pos, val
+
+    return inflate
+
+
+# live-stream uploads quantize to 64K-halfword steps: few compiled
+# inflate variants, ≤128 KB of upload slack
+_STREAM_STEP = 1 << 16
+
+
+def _inflate_inputs(stream: np.ndarray, exc_pos: np.ndarray,
+                    exc_val: np.ndarray, exc_n: np.ndarray, bucket: int,
+                    lanes: int, n_sections: int, exc_k: int):
+    """Device-resident (stream, exc_pos, exc_val) padded to the main
+    program's shapes from compact uploads."""
+    small = min(bucket + lanes, _ceil_mult(stream.size, _STREAM_STEP))
+    exc_small = min(exc_k, _ceil_mult(int(exc_n.max(initial=0)), 64))
+    s_small = np.zeros(small, np.uint16)
+    s_small[:stream.size] = stream[:small]
+    inflate = _inflate_program(bucket, lanes, small, n_sections, exc_k,
+                               exc_small)
+    return inflate(jnp.asarray(s_small),
+                   jnp.asarray(exc_pos[:, :exc_small]),
+                   jnp.asarray(exc_val[:, :exc_small]))
+
+
 def wide_compress(model, params, x, wct: WideCodecTables,
                   lanes: int = 0, unroll: int = 0) -> Dict:
     """Compress with the dual-mode program: 2 dispatches (analysis +
@@ -388,14 +448,12 @@ def _fit_exc(arr: np.ndarray, k: int) -> np.ndarray:
     return out
 
 
-def wide_decompress(model, params, strings, shape: Tuple[int, int],
-                    wct: WideCodecTables, batch: int = 1,
-                    out: str = "f32", unroll: int = 0) -> np.ndarray:
-    """ONE dispatch + one fetch: the whole decode graph (wide-rANS
-    included) is a single jitted program. ``out="u8"`` fetches the
-    device-quantized 8-bit image (4x less transfer than f32).
-    ``unroll`` overrides RDOPTQ_WIDE_UNROLL (0 = read the env once
-    here; it is part of the program cache key)."""
+def _decode_dispatch(model, params, strings, shape: Tuple[int, int],
+                     wct: WideCodecTables, batch: int, unroll: int):
+    """Unpack one blob and DISPATCH its decode program; returns the
+    result dict of device arrays WITHOUT fetching (async dispatch —
+    device compute and the result transfer can overlap the caller's
+    other work, which is what :func:`wide_decompress_many` pipelines)."""
     zh, zw = shape
     c_z = wct.medians.shape[0]
     n_sections = 1 + 2 * len(model.slices)
@@ -414,21 +472,69 @@ def wide_decompress(model, params, strings, shape: Tuple[int, int],
                         unroll or W.wide_unroll())
     h, w = zh * 4, zw * 4
     c_y = sum(model.slices)
+    # upload only the live stream/exceptions; zero-pad to the program's
+    # static buckets on device (_inflate_program)
+    stream_d, pos_d, val_d = _inflate_inputs(
+        stream, exc_pos, exc_val, exc_n, bucket, lanes, n_sections, exc_k)
     # the zero y_true placeholder must carry the params' compute dtype so
     # decode hits the SAME compiled program as encode (bit-agreement)
-    res = run(params, wct.device(),
-              jnp.asarray(_padded_stream(stream, bucket, lanes)),
-              jnp.asarray(states.astype(np.uint32)),
-              jnp.asarray(exc_pos), jnp.asarray(exc_val),
-              jnp.asarray(exc_n),
-              jnp.zeros((batch, zh, zw, c_z), jnp.int32),
-              jnp.zeros((batch, h, w, c_y),
-                        host_codec._float_dtype(params)),
-              jnp.bool_(False))
+    return run(params, wct.device(),
+               stream_d,
+               jnp.asarray(states.astype(np.uint32)),
+               pos_d, val_d,
+               jnp.asarray(exc_n),
+               jnp.zeros((batch, zh, zw, c_z), jnp.int32),
+               jnp.zeros((batch, h, w, c_y),
+                         host_codec._float_dtype(params)),
+               jnp.bool_(False))
+
+
+def _fetch_image(res, out: str) -> np.ndarray:
     if out == "u8":
         return np.asarray(res["x_u8"])
     return np.clip(np.asarray(res["x_hat"]), 0.0, 1.0)
 
 
+def wide_decompress(model, params, strings, shape: Tuple[int, int],
+                    wct: WideCodecTables, batch: int = 1,
+                    out: str = "f32", unroll: int = 0) -> np.ndarray:
+    """ONE dispatch + one fetch: the whole decode graph (wide-rANS
+    included) is a single jitted program. ``out="u8"`` fetches the
+    device-quantized 8-bit image (4x less transfer than f32).
+    ``unroll`` overrides RDOPTQ_WIDE_UNROLL (0 = read the env once
+    here; it is part of the program cache key)."""
+    return _fetch_image(
+        _decode_dispatch(model, params, strings, shape, wct, batch,
+                         unroll), out)
+
+
+def wide_decompress_many(model, params, blob_list, shape: Tuple[int, int],
+                         wct: WideCodecTables, out: str = "u8",
+                         unroll: int = 0, depth: int = 2) -> List[np.ndarray]:
+    """Pipelined decode of many same-bucket images: keep up to ``depth``
+    decodes in flight and fetch the oldest, so the serial per-image wall
+    (host unpack -> stream upload -> device decode -> image fetch)
+    overlaps across images. Over a remote-device link the transfers cost
+    as much as the decode itself (artifacts/wide_decode_profile.json:
+    0.28 s device vs 0.80 s wall at 2K) — the pipeline hides whichever
+    side is cheaper. All blobs must share one (shape, lanes) bucket:
+    one compiled program, reused.
+
+    Serving-throughput analogue of the reference's per-image decompress
+    loop (light-uniform-PTQ/dataset_test.ipynb cell 6), which has no
+    batched/pipelined variant."""
+    queue: List = []
+    results: List[np.ndarray] = []
+    for blob in blob_list:
+        queue.append(_decode_dispatch(model, params, [blob], shape, wct,
+                                      1, unroll))
+        if len(queue) >= depth:
+            results.append(_fetch_image(queue.pop(0), out))
+    while queue:
+        results.append(_fetch_image(queue.pop(0), out))
+    return results
+
+
 __all__ = ["WideCodecTables", "build_wide_codec_tables", "wide_compress",
-           "wide_decompress", "gather_cb", "scatter_cb"]
+           "wide_decompress", "wide_decompress_many", "gather_cb",
+           "scatter_cb"]

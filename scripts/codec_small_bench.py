@@ -78,6 +78,60 @@ def run_rows(model, params, images, tables) -> dict:
             "ms_ssim": round(float(np.mean(ms)), 4)}
 
 
+def run_rows_wide(model, params, images, wct) -> dict:
+    """Same set through the wide (single-dispatch device-decode) format:
+    warm per-image enc/dec walls, decode split into device compute vs
+    tunnel transfer (1-px fetch barrier vs full-image u8 fetch), plus a
+    pipelined whole-set decode (wide_decompress_many) where transfers of
+    image i-1 overlap the device decode of image i."""
+    from rdoptq_tpu.coding import wide_codec
+    enc_t, dec_t, dev_t, bpps, psnrs, ms = [], [], [], [], [], []
+    blobs, shape = [], None
+    for i, img in enumerate(images):
+        x, meta = M.pad_to_multiple(jnp.asarray(img), 64)
+        for _ in range(2 if i == 0 else 1):  # first pass pays compile
+            t0 = time.perf_counter()
+            out = wide_codec.wide_compress(model, params, x, wct)
+            e = time.perf_counter() - t0
+            t0 = time.perf_counter()
+            rec_u8 = wide_codec.wide_decompress(
+                model, params, out["strings"], out["shape"], wct,
+                out="u8")
+            d = time.perf_counter() - t0
+        # device-only: same dispatch, 1-px fetch as the barrier (the
+        # full-image transfer is an environment cost, not TPU time)
+        t0 = time.perf_counter()
+        res = wide_codec._decode_dispatch(model, params, out["strings"],
+                                          out["shape"], wct, 1, 0)
+        np.asarray(res["x_u8"][0, 0, 0, 0])
+        dev_t.append(time.perf_counter() - t0)
+        enc_t.append(e)
+        dec_t.append(d)
+        blobs.append(out["strings"][0])
+        shape = out["shape"]
+        x_hat = M.crop_to_original(
+            jnp.asarray(rec_u8.astype(np.float32) / 255.0), meta)
+        x_ref = M.crop_to_original(x, meta)
+        n_px = img.shape[1] * img.shape[2]
+        bpps.append(len(out["strings"][0]) * 8.0 / n_px)
+        psnrs.append(float(M.psnr(x_ref, x_hat)))
+        ms.append(float(M.ms_ssim(x_ref, x_hat)))
+    t0 = time.perf_counter()
+    recs = wide_codec.wide_decompress_many(model, params, blobs, shape,
+                                           wct, out="u8")
+    pipe_s = (time.perf_counter() - t0) / len(blobs)
+    np.testing.assert_array_equal(recs[-1], rec_u8)  # pipeline = serial
+    return {"enc_s_avg": round(float(np.mean(enc_t)), 4),
+            "dec_s_avg": round(float(np.mean(dec_t)), 4),
+            "dec_device_only_s_avg": round(float(np.mean(dev_t)), 4),
+            "dec_fetch_s_avg": round(
+                float(np.mean(dec_t) - np.mean(dev_t)), 4),
+            "dec_pipelined_s_per_img": round(pipe_s, 4),
+            "bpp": round(float(np.mean(bpps)), 4),
+            "psnr_db": round(float(np.mean(psnrs)), 2),
+            "ms_ssim": round(float(np.mean(ms)), 4)}
+
+
 def main():
     model, params, tables = bs._tinylic_codec_setup()
     imgs = [_downsample(im, 180, 240) for im in datasets.kodak()]
@@ -85,19 +139,30 @@ def main():
         imgs = imgs[:int(sys.argv[1])]
     print(f"{len(imgs)} images at {imgs[0].shape}")
 
+    from rdoptq_tpu.coding import wide_codec
+    wct = wide_codec.build_wide_codec_tables(params["eb"])
+
     rows = {"fp32": run_rows(model, params, imgs, tables)}
     print("fp32", rows["fp32"], flush=True)
+    rows["fp32_wide"] = run_rows_wide(model, params, imgs, wct)
+    print("fp32_wide", rows["fp32_wide"], flush=True)
     p16 = dict(light.cast_params(params))
     rows["bf16"] = run_rows(model, p16, imgs, tables)
     print("bf16", rows["bf16"], flush=True)
+    rows["bf16_wide"] = run_rows_wide(model, p16, imgs, wct)
+    print("bf16_wide", rows["bf16_wide"], flush=True)
     lq = light.quantize_model(params)
-    rows["int8_w"] = run_rows(model, dict(light.dequantized_params(lq)),
-                              imgs, tables)
+    p_int8 = dict(light.dequantized_params(lq))
+    rows["int8_w"] = run_rows(model, p_int8, imgs, tables)
     print("int8_w", rows["int8_w"], flush=True)
+    rows["int8_w_wide"] = run_rows_wide(model, p_int8, imgs, wct)
+    print("int8_w_wide", rows["int8_w_wide"], flush=True)
 
     out = {"set": "kodak24 downsampled 240x180 (dataset_test.ipynb row)",
-           "protocol": "warm per-image walls, one shared shape bucket, "
-                       "f32 reconstruction fetch",
+           "timing_protocol": "warm per-image walls, one shared shape "
+                              "bucket; host rows fetch f32, wide rows "
+                              "fetch u8 + report device-vs-transfer "
+                              "split and a pipelined whole-set decode",
            "params_source": bs.CODEC_PARAMS_SOURCE,
            "platform": jax.devices()[0].platform,
            "rows": rows,

@@ -165,6 +165,48 @@ def test_wide_lanes_knob(tiny, monkeypatch):
         np.testing.assert_array_equal(rec, rec_h)
 
 
+def test_wide_decompress_many_pipelined(tiny):
+    """The pipelined multi-blob decoder must return exactly the per-blob
+    wide_decompress results, in order, for any pipeline depth (the
+    overlap is a latency optimization, never a value change)."""
+    model, params, tables, wct = tiny
+    blobs, want = [], []
+    for seed in (20, 21, 22):
+        x = jax.random.uniform(jax.random.PRNGKey(seed), (1, 64, 64, 3))
+        enc = wide_codec.wide_compress(model, params, x, wct)
+        blobs.append(enc["strings"][0])
+        want.append(wide_codec.wide_decompress(
+            model, params, enc["strings"], enc["shape"], wct, out="u8"))
+        shape = enc["shape"]
+    for depth in (1, 2, 8):
+        got = wide_codec.wide_decompress_many(model, params, blobs, shape,
+                                              wct, out="u8", depth=depth)
+        assert len(got) == len(want)
+        for g, w in zip(got, want):
+            np.testing.assert_array_equal(g, w)
+
+
+def test_unpack_blob_rejects_corrupt_header(tiny):
+    """Truncated/corrupt blobs must fail with a clear ValueError before
+    any buffer allocation or (multi-minute, over this tunnel) compile."""
+    model, params, tables, wct = tiny
+    x = jax.random.uniform(jax.random.PRNGKey(13), (1, 64, 64, 3))
+    blob = wide_codec.wide_compress(model, params, x, wct)["strings"][0]
+    n_sections = 1 + 2 * len(model.slices)
+    import struct
+    with pytest.raises(ValueError, match="truncated"):
+        wide_codec.unpack_blob(blob[:4], n_sections)
+    zero_lanes = struct.pack("<IHH", 10, 0, 64) + blob[8:]
+    with pytest.raises(ValueError, match="lanes=0"):
+        wide_codec.unpack_blob(zero_lanes, n_sections)
+    big_lanes = struct.pack("<IHH", 10, 65535, 64) + blob[8:64]
+    with pytest.raises(ValueError, match="lane states"):
+        wide_codec.unpack_blob(big_lanes, n_sections)
+    short_stream = blob[:len(blob) - 2]
+    with pytest.raises(ValueError, match="stream"):
+        wide_codec.unpack_blob(short_stream, n_sections)
+
+
 def test_wide_rate_overhead_bounded(tiny):
     """The wide blob pays lane states (4 B/lane) + per-section lane
     padding + 8 B/exception + precision-12 rate; the STREAM portion must
