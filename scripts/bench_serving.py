@@ -402,7 +402,17 @@ def main():
     x = jnp.asarray(np.random.default_rng(0).random((1, 768, 512, 3),
                                                     np.float32))
     x = jax.device_put(x)
-    results = {"input": "768x512", "reps": REPS, "forward": {}}
+    results = {
+        "input": "768x512", "reps": REPS, "forward": {},
+        # reconciled with codec_breakdown.json / wide_decode_profile.json:
+        # codec rows are warm per-call WALLS over the remote-device
+        # tunnel (host rANS + per-pass dispatches + fetches included) —
+        # the host-codec path pays 10 fetches per decode, so its dec
+        # wall sits far above the wide codec's single-dispatch wall and
+        # the device-only compute floor; see those artifacts for splits
+        "timing_protocol": "warm wall-clock incl. tunnel transfers; "
+                           "forward rows are k-fold on-device scans",
+    }
     print("== conv microbench (5x5 C=192 @ 384x256)")
     results["conv_microbench"] = conv_microbench()
     print(json.dumps(results["conv_microbench"], indent=2))
