@@ -48,7 +48,40 @@ def _device_reachable(timeout_s: int = 240) -> bool:
         return False
 
 
+def _queue_busy() -> bool:
+    """True while a measurement-queue / chain-supervisor process from
+    this round is still alive (its launcher writes /tmp/queue_*.pid or
+    /tmp/chain_*.pid)."""
+    import glob
+
+    for pf in glob.glob("/tmp/queue_*.pid") + glob.glob("/tmp/chain_*.pid"):
+        try:
+            pid = int(open(pf).read().strip())
+            os.kill(pid, 0)
+        except (ValueError, OSError):
+            continue
+        return True
+    return False
+
+
+def _wait_for_idle_chip(max_wait_s: int = 1800) -> None:
+    """Round-4 lesson: BENCH_r04 read 75% slow because a calibration
+    sweep held the chip during the driver's bench window. If a queue is
+    still draining, wait (bounded — this script must always print its
+    JSON line) before timing."""
+    waited = 0
+    while _queue_busy() and waited < max_wait_s:
+        if waited == 0:
+            print("[bench] measurement queue holds the chip; waiting for "
+                  "it to drain (bounded)", file=sys.stderr)
+        time.sleep(60)
+        waited += 60
+    if waited:
+        print(f"[bench] waited {waited}s for the chip", file=sys.stderr)
+
+
 def main():
+    _wait_for_idle_chip()
     if os.environ.get("RDOPTQ_PLATFORM") is None and not _device_reachable():
         print("[bench] TPU unreachable (relay down?) — CPU fallback timing",
               file=sys.stderr)
