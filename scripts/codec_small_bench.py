@@ -78,12 +78,18 @@ def run_rows(model, params, images, tables) -> dict:
             "ms_ssim": round(float(np.mean(ms)), 4)}
 
 
-def run_rows_wide(model, params, images, wct) -> dict:
+def run_rows_wide(model, params, images, wct, lanes: int = 128) -> dict:
     """Same set through the wide (single-dispatch device-decode) format:
     warm per-image enc/dec walls, decode split into device compute vs
     tunnel transfer (1-px fetch barrier vs full-image u8 fetch), plus a
     pipelined whole-set decode (wide_decompress_many) where transfers of
-    image i-1 overlap the device decode of image i."""
+    image i-1 overlap the device decode of image i.
+
+    ``lanes=128`` (not the 2K default 512): at 240x180 the format's
+    fixed costs — 4 bytes of final rANS state per lane plus per-section
+    lane padding — are rate-visible (512 lanes read +0.28 bpp on this
+    set); 128 lanes cuts that 4x while the scan stays ~500 steps (the
+    decoder follows the blob header, so this is encoder-side policy)."""
     from rdoptq_tpu.coding import wide_codec
     enc_t, dec_t, dev_t, bpps, psnrs, ms = [], [], [], [], [], []
     blobs, shape = [], None
@@ -91,7 +97,8 @@ def run_rows_wide(model, params, images, wct) -> dict:
         x, meta = M.pad_to_multiple(jnp.asarray(img), 64)
         for _ in range(2 if i == 0 else 1):  # first pass pays compile
             t0 = time.perf_counter()
-            out = wide_codec.wide_compress(model, params, x, wct)
+            out = wide_codec.wide_compress(model, params, x, wct,
+                                           lanes=lanes)
             e = time.perf_counter() - t0
             t0 = time.perf_counter()
             rec_u8 = wide_codec.wide_decompress(
