@@ -72,20 +72,26 @@ def _load_partial(path: str, config: dict):
     return per_quality, anchors
 
 
-def _bd_block(anchor_rows, test_rows) -> dict:
-    """BD metrics from lists of {psnr, ms_ssim_db, bpp} rows."""
+def _bd_block(anchor_rows, test_rows, piecewise: bool = False) -> dict:
+    """BD metrics from lists of {psnr, ms_ssim_db, bpp} rows.
+
+    ``piecewise=True`` uses the pchip interpolant (linear at 2 points)
+    instead of the cubic polynomial fit, which needs >=4 RD points —
+    short sweeps (e.g. the two-quality ms-ssim block) still get a BD
+    block, flagged by ``bd_fit``."""
     ab = [r["bpp"] for r in anchor_rows]
     ap = [r["psnr"] for r in anchor_rows]
     tb = [r["bpp"] for r in test_rows]
     tp = [r["psnr"] for r in test_rows]
     return {
-        "bd_rate_pct": bdrate.bd_rate(ab, ap, tb, tp),
-        "bd_psnr_db": bdrate.bd_psnr(ab, ap, tb, tp),
+        "bd_rate_pct": bdrate.bd_rate(ab, ap, tb, tp, piecewise),
+        "bd_psnr_db": bdrate.bd_psnr(ab, ap, tb, tp, piecewise),
         # MS-SSIM BD-rate over -10·log10(1-msssim) curves (the standard
         # dB mapping the reference's MS-SSIM RD plots use)
         "bd_rate_msssim_pct": bdrate.bd_rate(
             ab, [r["ms_ssim_db"] for r in anchor_rows],
-            tb, [r["ms_ssim_db"] for r in test_rows]),
+            tb, [r["ms_ssim_db"] for r in test_rows], piecewise),
+        "bd_fit": "pchip" if piecewise else "cubic",
     }
 
 
@@ -313,16 +319,17 @@ def run(arch: str = "Cheng2020", qualities=(1, 2, 3, 4, 5, 6),
                                          for n, d, pt in extra_eval},
                           **config}}
     qs = sorted(per_quality)
-    if len(qs) >= 4:
+    if len(qs) >= 2:
+        pw = len(qs) < 4  # cubic fit needs 4 RD points; pchip otherwise
         out.update(_bd_block([per_quality[q]["fp32"] for q in qs],
-                             [per_quality[q]["quant"] for q in qs]))
+                             [per_quality[q]["quant"] for q in qs], pw))
         log.info("BD-rate: %.2f%%  BD-PSNR: %.3f dB  BD-rate(MS-SSIM): "
                  "%.2f%%", out["bd_rate_pct"], out["bd_psnr_db"],
                  out["bd_rate_msssim_pct"])
         for name in extra_images:
             out[f"bd_{name}"] = _bd_block(
                 [per_quality[q]["extra"][name]["fp32"] for q in qs],
-                [per_quality[q]["extra"][name]["quant"] for q in qs])
+                [per_quality[q]["extra"][name]["quant"] for q in qs], pw)
             log.info("BD-rate[%s]: %.2f%%", name,
                      out[f"bd_{name}"]["bd_rate_pct"])
     os.makedirs(os.path.dirname(out_path) or ".", exist_ok=True)

@@ -47,6 +47,26 @@ def test_bd_rate_pchip_variant():
     assert abs(bdrate.bd_rate(r5, p5, r5, p5, piecewise=True)) < 1e-9
 
 
+def test_bd_block_two_point_pchip():
+    """Short sweeps (e.g. the two-quality ms-ssim block) get a BD block
+    via the pchip fit (linear at 2 points); the cubic fit needs >=4."""
+    from rdoptq_tpu.cli.sweep import _bd_block
+    a = [{"psnr": 30.0, "ms_ssim_db": 15.0, "bpp": 0.3},
+         {"psnr": 32.0, "ms_ssim_db": 16.0, "bpp": 0.5}]
+    blk = _bd_block(a, a, piecewise=True)
+    assert blk["bd_fit"] == "pchip"
+    assert abs(blk["bd_rate_pct"]) < 1e-9
+    assert abs(blk["bd_rate_msssim_pct"]) < 1e-9
+    # 10% rate overhead at equal quality reads ~10% on both objectives
+    t = [dict(r, bpp=r["bpp"] * 1.1) for r in a]
+    blk = _bd_block(a, t, piecewise=True)
+    assert blk["bd_rate_pct"] == pytest.approx(10.0, abs=0.2)
+    assert blk["bd_rate_msssim_pct"] == pytest.approx(10.0, abs=0.2)
+    # the block must be json-serializable (artifact files)
+    import json
+    json.dumps(blk)
+
+
 def test_bd_psnr_sign():
     r = [0.2, 0.4, 0.8, 1.2]
     p = np.array([30.0, 33.0, 36.0, 38.0])
