@@ -455,8 +455,10 @@ def main():
             print("tiled bench failed:", e)
 
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/serving_bench.json", "w") as f:
+    with open("artifacts/serving_bench.json.tmp", "w") as f:
         json.dump(results, f, indent=2)
+    os.replace("artifacts/serving_bench.json.tmp",
+               "artifacts/serving_bench.json")
     print("wrote artifacts/serving_bench.json")
 
 

@@ -178,8 +178,10 @@ def main():
                              "int8": [0.100, 0.122],
                              "source": "dataset_test.ipynb cells 6/10/16"}}
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/codec_small_bench.json", "w") as f:
+    with open("artifacts/codec_small_bench.json.tmp", "w") as f:
         json.dump(out, f, indent=2)
+    os.replace("artifacts/codec_small_bench.json.tmp",
+               "artifacts/codec_small_bench.json")
     print("wrote artifacts/codec_small_bench.json")
 
 

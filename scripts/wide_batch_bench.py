@@ -140,8 +140,10 @@ def main():
                              "source": "single_test.ipynb cells 6/15"},
     }
     os.makedirs("artifacts", exist_ok=True)
-    with open("artifacts/wide_batch_bench.json", "w") as f:
+    with open("artifacts/wide_batch_bench.json.tmp", "w") as f:
         json.dump(out, f, indent=2)
+    os.replace("artifacts/wide_batch_bench.json.tmp",
+               "artifacts/wide_batch_bench.json")
     print(json.dumps(out, indent=2))
     print("wrote artifacts/wide_batch_bench.json")
 

@@ -141,8 +141,9 @@ def main():
     except (OSError, ValueError):
         doc = {}
     doc["device_split"] = split
-    with open(path, "w") as f:
+    with open(path + ".tmp", "w") as f:
         json.dump(doc, f, indent=2)
+    os.replace(path + ".tmp", path)
     print(f"wrote device_split into {path}")
 
 
